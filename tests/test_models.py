@@ -1,0 +1,176 @@
+"""Model-level golden parity: framework forward == torch twin forward.
+
+Twins (tests/torch_twins.py) are independently-built torch models with
+reference-compatible state_dict names; weights flow through
+train/torch_import.py, exercising both the checkpoint-import mapping
+and the model math in one shot. All comparisons in eval mode (dropout
+off) on CPU.
+"""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vq_vae_transformer_arc_welding_tpu.models import (GRU, MLP,
+                                                       TransformerDecoder,
+                                                       VQVAEPatch)
+from vq_vae_transformer_arc_welding_tpu.train import torch_import as ti
+
+from torch_twins import (TwinGRU, TwinMLP, TwinTransformer, TwinVQVAEPatch)
+
+
+@pytest.mark.parametrize("batch_norm", [False, True])
+def test_vqvae_forward_matches_twin(rng, batch_norm):
+    h, d, k, n_res, patch = 32, 8, 16, 2, 25
+    twin = TwinVQVAEPatch(h, 2, k, d, n_res, patch=patch, bn=batch_norm)
+    twin.eval()
+    model = VQVAEPatch(hidden_dim=h, input_dim=2, num_embeddings=k,
+                       embedding_dim=d, n_resblocks=n_res, learning_rate=1e-3,
+                       patch_size=patch, batch_norm=batch_norm)
+    params, state = ti.vqvae_params_from_state_dict(
+        twin.state_dict(), n_resblocks=n_res, batch_norm=batch_norm)
+
+    x = rng.standard_normal((4, 200, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_loss, ref_xhat, ref_perp = twin(torch.tensor(x))
+    out, _ = model.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out.x_hat), ref_xhat.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.embedding_loss),
+                               ref_loss.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.perplexity), ref_perp.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_vqvae_encode_indices_bit_match(rng):
+    """North-star check: codebook indices bit-identical on same weights."""
+    h, d, k, n_res = 32, 8, 16, 2
+    twin = TwinVQVAEPatch(h, 2, k, d, n_res)
+    twin.eval()
+    model = VQVAEPatch(hidden_dim=h, input_dim=2, num_embeddings=k,
+                       embedding_dim=d, n_resblocks=n_res, learning_rate=1e-3,
+                       batch_norm=False)
+    params, state = ti.vqvae_params_from_state_dict(
+        twin.state_dict(), n_resblocks=n_res, batch_norm=False)
+    x = rng.standard_normal((8, 200, 2)).astype(np.float32)
+    with torch.no_grad():
+        z_e = twin.encoder(twin.patch_embed(torch.tensor(x)))
+        _, _, _, _, ref_idx = twin.vector_quantization(z_e)
+    ours = model.encode_indices(params, state, jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(ours).reshape(-1),
+                                  ref_idx.numpy().reshape(-1))
+
+
+def test_transformer_both_heads_match_twin(rng):
+    d, n_classes, seq_len, blocks, heads = 32, 18, 11, 2, 4
+    twin = TwinTransformer(d, n_classes, seq_len, blocks, heads)
+    twin.eval()
+    model = TransformerDecoder(d_model=d, n_classes=n_classes, seq_len=seq_len,
+                               n_blocks=blocks, n_head=heads)
+    params, state = ti.transformer_params_from_state_dict(
+        twin.state_dict(), n_blocks=blocks)
+    ids = rng.integers(0, n_classes, (3, seq_len)).astype(np.int32)
+    with torch.no_grad():
+        ref_gen = twin(torch.tensor(ids, dtype=torch.long), generate=True)
+        ref_cls = twin(torch.tensor(ids, dtype=torch.long), generate=False)
+    gen, _ = model.apply(params, state, jnp.asarray(ids), generate=True)
+    cls, _ = model.apply(params, state, jnp.asarray(ids), generate=False)
+    np.testing.assert_allclose(np.asarray(gen), ref_gen.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cls), ref_cls.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_transformer_generate_greedy_matches_twin(rng):
+    d, n_classes, seq_len, blocks, heads = 32, 18, 8, 2, 4
+    twin = TwinTransformer(d, n_classes, seq_len, blocks, heads)
+    twin.eval()
+    model = TransformerDecoder(d_model=d, n_classes=n_classes, seq_len=seq_len,
+                               n_blocks=blocks, n_head=heads)
+    params, _ = ti.transformer_params_from_state_dict(
+        twin.state_dict(), n_blocks=blocks)
+
+    start = np.full((2, 1), n_classes - 2, np.int32)
+    # torch-side greedy loop (reference transformer_decoder.py:203-224)
+    x = torch.tensor(start, dtype=torch.long)
+    with torch.no_grad():
+        for _ in range(seq_len):
+            x_cond = x if x.size(1) <= seq_len else x[:, -seq_len:]
+            logits = twin(x_cond)
+            probs = torch.softmax(logits, dim=-1)[:, -1]
+            idx_next = probs.topk(1, dim=-1).indices
+            x = torch.cat([x, idx_next], dim=-1)
+    ours = model.generate(params, jnp.asarray(start), do_sample=False)
+    np.testing.assert_array_equal(np.asarray(ours), x.numpy())
+
+
+def test_mlp_matches_twin(rng):
+    twin = TwinMLP(input_size=10, in_dim=4, hidden=16, n_hidden=2)
+    twin.eval()
+    model = MLP(input_size=10, output_size=2, in_dim=4, hidden_sizes=16,
+                n_hidden_layers=2)
+    params, state = ti.mlp_params_from_state_dict(twin.state_dict(),
+                                                  n_hidden_layers=2)
+    x = rng.standard_normal((5, 10, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = twin(torch.tensor(x)).numpy()
+    ours, _ = model.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_gru_matches_twin(rng):
+    twin = TwinGRU(in_dim=8, hidden=12, n_layers=2)
+    twin.eval()
+    model = GRU(input_size=6, in_dim=8, output_size=2, hidden_sizes=12,
+                n_hidden_layers=2)
+    params, state = ti.gru_params_from_state_dict(twin.state_dict(),
+                                                  n_hidden_layers=2)
+    x = rng.standard_normal((5, 6, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = twin(torch.tensor(x)).numpy()
+    ours, _ = model.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                       embedding_dim=4, n_resblocks=1, learning_rate=1e-3,
+                       batch_norm=True)
+    params, state = model.init(3)
+    path = str(tmp_path / "m.ckpt")
+    model.save(path, params, state, extra={"epoch": 5})
+    model2, p2, s2 = VQVAEPatch.load(path)
+    assert model2.hparams == model.hparams
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lightning_ckpt_import(tmp_path):
+    """A reference-layout Lightning .ckpt loads into our VQVAEPatch."""
+    twin = TwinVQVAEPatch(16, 2, 8, 4, 1)
+    ckpt = {"state_dict": twin.state_dict(),
+            "hyper_parameters": dict(hidden_dim=16, input_dim=2,
+                                     num_embeddings=8, embedding_dim=4,
+                                     n_resblocks=1, learning_rate=1e-3,
+                                     dropout_p=0.1, patch_size=25,
+                                     seq_len=200, batch_norm=False,
+                                     beta=0.25, use_improved_vq=False,
+                                     kmeans_iters=0,
+                                     threshold_ema_dead_code=2)}
+    path = str(tmp_path / "ref.ckpt")
+    torch.save(ckpt, path)
+    model, params, state = ti.load_vqvae_checkpoint(path)
+    assert model.num_embeddings == 8
+    x = np.random.default_rng(1).standard_normal((2, 200, 2)).astype(np.float32)
+    out, _ = model.apply(params, state, jnp.asarray(x), train=False)
+    twin.eval()
+    with torch.no_grad():
+        _, ref_xhat, _ = twin(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(out.x_hat), ref_xhat.numpy(),
+                               rtol=1e-4, atol=1e-4)

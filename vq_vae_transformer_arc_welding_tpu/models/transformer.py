@@ -1,0 +1,235 @@
+"""minGPT-style causal transformer decoder over latent tokens.
+
+Capability parity with reference model/transformer_decoder.py:13-230
+(MyTransformerDecoder): sinusoidal-PE token embedding (max_len 512,
+reference :22-23), pre-LN blocks with tanh-GELU MLPs, a bias-free
+lm_head for next-token generation and a two-stage class head (d->1,
+exact GELU, seq_len->2) for binary quality classification, GPT-2 init
+with residual-projection scaling, and the decay/no-decay optimizer
+split (:64-114) exposed as a pytree mask.
+
+Reference quirks reproduced knowingly:
+- `transformer.drop` and the optional class-head dropout are created
+  but never applied in forward (reference :25-41 vs :116-131); we
+  simply don't apply them either.
+- generation recomputes the full forward per step (no KV cache,
+  reference :203-224); our `generate` is a fixed-shape lax.scan so it
+  jits, and a KV-cached path is planned as the fast option.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.activations import gelu, new_gelu
+from ..ops.attention import causal_self_attention
+from ..ops.norm import layer_norm
+from ..utils.random import dropout
+from .base import Module
+from .initializers import gpt2_embedding, gpt2_linear
+
+
+def sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
+    """Fixed sin/cos table (reference model/embedding.py:6-24)."""
+    pe = np.zeros((max_len, d_model), np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float32)
+                 * -(math.log(10000.0) / d_model))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class TransformerDecoder(Module):
+    def __init__(self, d_model: int = 64, n_classes: int = 131,
+                 seq_len: int = 100, n_blocks: int = 2, n_head: int = 6,
+                 res_dropout: float = 0.1, att_dropout: float = 0.0,
+                 learning_rate: float = 1e-3, class_h_bias: bool = False,
+                 class_h_dropout: bool = False, pe_max_len: int = 512,
+                 attention_impl: str = "xla"):
+        assert d_model % n_head == 0
+        self.d_model = d_model
+        self.n_classes = n_classes
+        self.seq_len = seq_len
+        self.n_blocks = n_blocks
+        self.n_head = n_head
+        self.res_dropout = res_dropout
+        self.att_dropout = att_dropout
+        self.learning_rate = learning_rate
+        self.class_h_bias = class_h_bias
+        self.class_h_dropout = class_h_dropout
+        self.betas = (0.9, 0.95)
+        self.weight_decay = 0.1
+        self.attention_impl = attention_impl
+        self.pe = jnp.asarray(sinusoidal_pe(pe_max_len, d_model))
+        self.hparams = dict(d_model=d_model, n_classes=n_classes,
+                            seq_len=seq_len, n_blocks=n_blocks, n_head=n_head,
+                            res_dropout=res_dropout, att_dropout=att_dropout,
+                            learning_rate=learning_rate,
+                            class_h_bias=class_h_bias,
+                            class_h_dropout=class_h_dropout)
+
+    # -- init -------------------------------------------------------------
+
+    def init(self, seed: int = 0):
+        key = jax.random.PRNGKey(seed)
+        ks = iter(jax.random.split(key, 4 + 6 * self.n_blocks))
+        d = self.d_model
+        proj_std = 0.02 / math.sqrt(2 * self.n_blocks)
+
+        blocks = []
+        for _ in range(self.n_blocks):
+            ca_w, ca_b = gpt2_linear(next(ks), d, 3 * d)
+            cp_w, _ = gpt2_linear(next(ks), d, d, std=proj_std)
+            fc_w, fc_b = gpt2_linear(next(ks), d, 4 * d)
+            mp_w, _ = gpt2_linear(next(ks), 4 * d, d, std=proj_std)
+            blocks.append({
+                "ln1_scale": jnp.ones((d,)), "ln1_bias": jnp.zeros((d,)),
+                "attn": {"c_attn_w": ca_w, "c_attn_b": ca_b,
+                         "c_proj_w": cp_w, "c_proj_b": jnp.zeros((d,))},
+                "ln2_scale": jnp.ones((d,)), "ln2_bias": jnp.zeros((d,)),
+                "mlp": {"c_fc_w": fc_w, "c_fc_b": fc_b,
+                        "c_proj_w": mp_w, "c_proj_b": jnp.zeros((d,))},
+            })
+
+        lm_w, _ = gpt2_linear(next(ks), d, self.n_classes)
+        l1_w, _ = gpt2_linear(next(ks), d, 1)
+        l2_w, _ = gpt2_linear(next(ks), self.seq_len, 2)
+        params = {
+            "tok_emb": gpt2_embedding(next(ks), self.n_classes, d),
+            "blocks": blocks,
+            "ln_f_scale": jnp.ones((d,)), "ln_f_bias": jnp.zeros((d,)),
+            "lm_head_w": lm_w,
+            "class_head": {"l1_w": l1_w, "l2_w": l2_w},
+        }
+        if self.class_h_bias:
+            params["class_head"]["l1_b"] = jnp.zeros((1,))
+            params["class_head"]["l2_b"] = jnp.zeros((2,))
+        return params, {}
+
+    def decay_mask(self, params):
+        """True where torch RAdam applies weight decay 0.1 (Linear
+        weights only — reference transformer_decoder.py:72-107).
+        lm_head/class_head weights are Linear weights => decay."""
+        def mask_like(tree, fn):
+            return jax.tree_util.tree_map_with_path(fn, tree)
+
+        def is_decay(path, leaf):
+            keys = [getattr(p, "key", None) for p in path]
+            name = keys[-1] if keys else ""
+            if name == "tok_emb":
+                return False
+            if name is None:
+                return False
+            return name.endswith("_w")
+
+        return mask_like(params, is_decay)
+
+    # -- forward ----------------------------------------------------------
+
+    def backbone(self, params, x_ids, *, train=False, rng=None):
+        t = x_ids.shape[1]
+        x = jnp.take(params["tok_emb"], x_ids, axis=0) + self.pe[None, :t]
+        for i, blk in enumerate(params["blocks"]):
+            sub = jax.random.fold_in(rng, i) if rng is not None else None
+            r_att, r_mlp = (jax.random.split(sub) if sub is not None
+                            else (None, None))
+            h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+            x = x + causal_self_attention(
+                h, blk["attn"], n_head=self.n_head,
+                attn_dropout_p=self.att_dropout,
+                resid_dropout_p=self.res_dropout, train=train, rng=r_att,
+                impl=self.attention_impl)
+            h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+            m = blk["mlp"]
+            h = new_gelu(jnp.dot(h, m["c_fc_w"],
+                                 preferred_element_type=jnp.float32) + m["c_fc_b"])
+            h = jnp.dot(h, m["c_proj_w"],
+                        preferred_element_type=jnp.float32) + m["c_proj_b"]
+            x = x + dropout(r_mlp, h, self.res_dropout, train)
+        return layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
+
+    def apply(self, params, state, x_ids, *, train=False, rng=None,
+              generate: bool = True):
+        x = self.backbone(params, x_ids, train=train, rng=rng)
+        if generate:
+            logits = jnp.dot(x, params["lm_head_w"],
+                             preferred_element_type=jnp.float32)
+        else:
+            ch = params["class_head"]
+            h = jnp.dot(x, ch["l1_w"],
+                        preferred_element_type=jnp.float32)
+            if self.class_h_bias:
+                h = h + ch["l1_b"]
+            h = gelu(h.squeeze(-1))            # (B, T)
+            logits = jnp.dot(h, ch["l2_w"],
+                             preferred_element_type=jnp.float32)
+            if self.class_h_bias:
+                logits = logits + ch["l2_b"]
+        return logits, state
+
+    # -- losses (reference :226-230) --------------------------------------
+
+    @staticmethod
+    def loss_gen(logits, labels):
+        """Token-level CE with ignore_index=-1."""
+        v = logits.shape[-1]
+        flat_logits = logits.reshape(-1, v)
+        flat_labels = labels.reshape(-1)
+        valid = flat_labels != -1
+        safe = jnp.where(valid, flat_labels, 0)
+        logp = jax.nn.log_softmax(flat_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+
+    @staticmethod
+    def loss_class(logits, labels):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    # -- autoregressive sampling (reference :203-224) ----------------------
+
+    def generate(self, params, x_ids, *, do_sample: bool = False,
+                 top_k: int | None = None, rng=None, num_steps: int | None = None):
+        """Append `num_steps` (default seq_len) sampled tokens.
+
+        Fixed-shape lax.scan: the context window is a seq_len-sized
+        dynamic slice of the growing buffer; garbage tail positions are
+        harmless because causal attention never lets them reach the
+        query at the current length.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        steps = self.seq_len if num_steps is None else num_steps
+        b, t0 = x_ids.shape
+        buf = jnp.concatenate(
+            [x_ids, jnp.zeros((b, steps), x_ids.dtype)], axis=1)
+        total = t0 + steps
+
+        def step(carry, key):
+            buf, cur = carry
+            start = jnp.maximum(0, cur - self.seq_len)
+            window = jax.lax.dynamic_slice(
+                buf, (0, start), (b, min(self.seq_len, total)))
+            logits, _ = self.apply(params, None, window, train=False)
+            pos = jnp.minimum(cur, self.seq_len) - 1
+            last = jax.lax.dynamic_slice(
+                logits, (0, pos, 0), (b, 1, logits.shape[-1]))[:, 0]
+            if top_k is not None:
+                kth = jnp.sort(last, axis=-1)[:, -top_k][:, None]
+                last = jnp.where(last < kth, -jnp.inf, last)
+            if do_sample:
+                nxt = jax.random.categorical(key, last, axis=-1)
+            else:
+                nxt = jnp.argmax(last, axis=-1)
+            buf = jax.lax.dynamic_update_slice(
+                buf, nxt[:, None].astype(buf.dtype), (0, cur))
+            return (buf, cur + 1), None
+
+        (buf, _), _ = jax.lax.scan(step, (buf, jnp.asarray(t0)),
+                                   jax.random.split(rng, steps))
+        return buf

@@ -1,0 +1,55 @@
+"""Multi-layer GRU as `lax.scan` over time.
+
+Replaces the reference's cuDNN GRU (model/gru.py:25) with torch gate
+math (gate order r|z|n, reset-gate applied to the hidden candidate
+pre-activation — SURVEY.md §7 "GRU parity"). TPU-first structure: the
+input projection for all timesteps is one large batched matmul done
+outside the scan; only the (B, H) @ (H, 3H) recurrent matmul lives in
+the scan body, which XLA keeps on the MXU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gru_layer(x: jnp.ndarray, h0: jnp.ndarray, w_ih: jnp.ndarray,
+              w_hh: jnp.ndarray, b_ih: jnp.ndarray, b_hh: jnp.ndarray):
+    """One GRU layer. x: (B, T, I); h0: (B, H); torch weight layout
+    w_ih: (3H, I), w_hh: (3H, H), gates stacked [r | z | n].
+    Returns (outputs (B, T, H), h_T (B, H))."""
+    hidden = h0.shape[-1]
+    # all-timestep input projection in one matmul
+    gi = jnp.einsum("bti,gi->btg", x, w_ih,
+                    preferred_element_type=jnp.float32) + b_ih  # (B, T, 3H)
+
+    def step(h, gi_t):
+        gh = jnp.dot(h, w_hh.T, preferred_element_type=jnp.float32) + b_hh
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_t, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi, 0, 1))
+    del hidden
+    return jnp.swapaxes(ys, 0, 1), h_t
+
+
+def gru_forward(x: jnp.ndarray, params: list[dict], h0: jnp.ndarray | None = None):
+    """Stacked GRU (batch_first). params: list of per-layer dicts with
+    keys w_ih, w_hh, b_ih, b_hh. h0: (n_layers, B, H) or None for zeros
+    (reference model/gru.py:29-32 zero-init). Returns (out (B,T,H), h_n)."""
+    n_layers = len(params)
+    b = x.shape[0]
+    hdim = params[0]["w_hh"].shape[-1]
+    if h0 is None:
+        h0 = jnp.zeros((n_layers, b, hdim), x.dtype)
+    finals = []
+    out = x
+    for i, p in enumerate(params):
+        out, h_t = gru_layer(out, h0[i], p["w_ih"], p["w_hh"], p["b_ih"], p["b_hh"])
+        finals.append(h_t)
+    return out, jnp.stack(finals)

@@ -1,0 +1,67 @@
+"""Checkpoint save/load with embedded hyperparameters.
+
+Rebuild of Lightning's ModelCheckpoint + save_hyperparameters contract
+(reference autencoder_lightning_base.py:41, utils.py:30): a single
+`.ckpt` file carries the model class name, the constructor kwargs, and
+all arrays, so `Model.load(path)` reconstructs the module without
+external config. Format: flax msgpack of numpy arrays + a JSON header —
+no pickle, portable across hosts.
+
+`torch_import.py` converts reference Lightning .ckpt files into this
+format so reference-trained VQ-VAEs can seed the latent pipeline for
+F1-parity evaluation (SURVEY.md §7 "Checkpoint compatibility").
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path, model_name: str, hparams: dict, params, state,
+                    extra: dict | None = None):
+    payload = {
+        "header": json.dumps({
+            "model": model_name,
+            "hparams": hparams,
+            "extra": extra or {},
+            "format_version": 1,
+        }),
+        "params": serialization.to_state_dict(_to_numpy_tree(params)),
+        "state": serialization.to_state_dict(_to_numpy_tree(state)),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    """Returns (model_name, hparams, restore_fn, extra).
+
+    restore_fn takes the template (params, state) from ``model.init()``
+    and returns them filled with the checkpoint arrays (pytree structure
+    — NamedTuples etc. — restored via flax.serialization).
+    """
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    header = json.loads(payload["header"])
+
+    def restore(templates):
+        t_params, t_state = templates
+        params = serialization.from_state_dict(t_params, payload["params"])
+        state = serialization.from_state_dict(t_state, payload["state"])
+        return params, state
+
+    return header["model"], header["hparams"], restore, header.get("extra", {})
