@@ -1,0 +1,179 @@
+"""Data-layer tests: CSV schema, splits, windowing, scaling, latent
+materialization (test strategy per SURVEY.md §4 — the reference ships
+no tests, so transforms are verified against hand-computed goldens and
+a reference-style loop implementation)."""
+import os
+
+import numpy as np
+import pytest
+
+from vq_vae_transformer_arc_welding_tpu.data import (ASIMoWDataModule,
+                                                     DataSplitId,
+                                                     LatentPredDataModule,
+                                                     StandardScaler,
+                                                     get_val_test_ids,
+                                                     load_asimow_csv,
+                                                     make_autoregressive,
+                                                     sampling_weights)
+from vq_vae_transformer_arc_welding_tpu.data.asimow import (
+    create_sequence_windows)
+from vq_vae_transformer_arc_welding_tpu.data.synthetic import (
+    make_synthetic_arrays, write_synthetic_csv)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("asimow")
+    write_synthetic_csv(str(d / "processed_asimow_dataset.csv"),
+                        n_cycles_per_run=30, extra_train_runs=3)
+    return str(d)
+
+
+def test_csv_roundtrip(data_dir):
+    vi, labels, exp, run = load_asimow_csv(
+        os.path.join(data_dir, "processed_asimow_dataset.csv"))
+    assert vi.shape[1:] == (200, 2)
+    assert set(np.unique(labels)) <= {-1, 0, 1}
+    assert len(vi) == len(labels) == len(exp) == len(run)
+    # every benchmark val/test id present
+    ids = get_val_test_ids()
+    pairs = set(zip(exp.tolist(), run.tolist()))
+    for e, w in ids["val_ids"] + ids["test_ids"]:
+        assert (e, w) in pairs
+
+
+def test_sequence_windows_match_reference_loop(rng):
+    """Vectorized windowing == the reference's Python loop
+    (asimow_dataloader.py:185-206)."""
+    x = rng.standard_normal((20, 200, 2)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    seq_len, wsize, woff = 5, 180, 10
+
+    new_x = np.zeros((x.shape[0] - seq_len, wsize * seq_len, x.shape[2]))
+    new_y = np.zeros((y.shape[0] - seq_len))
+    for i in range(x.shape[0] - seq_len):
+        x_t = x[i:i + seq_len][:, woff:woff + wsize, :]
+        new_x[i] = x_t.reshape(-1, 2)
+        new_y[i] = y[i + seq_len]
+
+    ours_x, ours_y = create_sequence_windows(x, y, seq_len, wsize, woff)
+    np.testing.assert_allclose(ours_x, new_x, rtol=1e-6)
+    np.testing.assert_array_equal(ours_y, new_y)
+
+
+def test_scaler_matches_population_stats(rng):
+    x = rng.standard_normal((50, 10, 2)).astype(np.float32) * 3 + 5
+    sc = StandardScaler().fit(x)
+    flat = x.reshape(-1, 2)
+    np.testing.assert_allclose(sc.mean_, flat.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(sc.scale_, flat.std(0), rtol=1e-5)
+    t = sc.transform(x)
+    np.testing.assert_allclose(t.reshape(-1, 2).mean(0), 0, atol=1e-5)
+    np.testing.assert_allclose(t.reshape(-1, 2).std(0), 1, atol=1e-4)
+    np.testing.assert_allclose(sc.inverse_transform(t), x, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_sampling_weights_balance():
+    labels = np.array([0, 0, 0, 1])
+    w = sampling_weights(labels)
+    np.testing.assert_allclose(w, [0.25, 0.25, 0.25, 0.75])
+    # expected mass per class equal: 3*0.25 == 1*0.75
+    assert abs(w[labels == 0].sum() - w[labels == 1].sum()) < 1e-6
+
+
+def test_make_autoregressive_shift():
+    ids = np.array([[1, 2, 3], [3, 0, 1]])
+    labels = np.array([1, 0])
+    split, num_classes = make_autoregressive(ids, labels)
+    assert num_classes == 6  # max 3 -> start 4, end 5, classes 6
+    np.testing.assert_array_equal(split.x, [[4, 1, 2, 3], [4, 3, 0, 1]])
+    np.testing.assert_array_equal(split.y, [[1, 2, 3, 5], [3, 0, 1, 5]])
+    np.testing.assert_array_equal(split.cond, labels)
+
+
+def test_asimow_module_classification(data_dir):
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="classification", n_cycles=3,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=8,
+                          data_directory_path=data_dir)
+    dm.setup()
+    assert dm.train.x.shape[1:] == (600, 2)
+    assert dm.train.y.dtype == np.int64
+    assert set(np.unique(dm.train.y)) <= {0, 1}  # -1 filtered
+    assert dm.train_sampling is not None
+    assert len(dm.train_sampling) == len(dm.train.x)
+    # val/test non-empty and disjoint sizes sane
+    assert len(dm.val.x) > 0 and len(dm.test.x) > 0
+    # train data standard-scaled
+    flat = dm.train.x.reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), 0, atol=1e-3)
+    np.testing.assert_allclose(flat.std(0), 1, atol=1e-2)
+
+
+def test_asimow_module_reconstruction(data_dir):
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="reconstruction", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=8,
+                          data_directory_path=data_dir)
+    dm.setup()
+    assert dm.train.x.shape[1:] == (200, 2)
+    assert dm.train.y is None
+    assert dm.train_sampling is None
+    # reconstruction keeps unlabeled cycles
+    vi, labels, exp, run = load_asimow_csv(
+        os.path.join(data_dir, "processed_asimow_dataset.csv"))
+    ids_d = get_val_test_ids()
+    heldout = set(ids_d["val_ids"]) | set(ids_d["test_ids"])
+    n_train_cycles = sum((e, w) not in heldout
+                         for e, w in zip(exp.tolist(), run.tolist()))
+    assert len(dm.train.x) == n_train_cycles
+
+
+@pytest.mark.parametrize("task,xdtype", [
+    ("classification", np.float32),
+    ("classification_ids", np.int64),
+    ("autoregressive_ids", np.int64),
+    ("autoregressive_ids_classification", np.int64),
+])
+def test_latent_module_tasks(data_dir, task, xdtype):
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    model = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                       embedding_dim=4, n_resblocks=1, learning_rate=1e-3,
+                       batch_norm=False)
+    params, state = model.init(0)
+    ids = get_val_test_ids()
+    n_cycles = 2
+    dm = LatentPredDataModule(
+        (model, params, state), task=task, n_cycles=n_cycles,
+        val_data_ids=[DataSplitId(*v) for v in ids["val_ids"]],
+        test_data_ids=[DataSplitId(*v) for v in ids["test_ids"]],
+        batch_size=8, data_directory_path=data_dir)
+    dm.setup()
+    assert dm.train.x.dtype == xdtype
+    if task == "classification":
+        assert dm.train.x.shape[1:] == (n_cycles, 4 * model.enc_out_len)
+        assert dm.train_sampling is not None
+    elif task == "classification_ids":
+        assert dm.train.x.shape[1:] == (n_cycles, model.enc_out_len)
+    else:
+        # start token prepended: n_cycles*16 + 1
+        assert dm.train.x.shape[1] == n_cycles * model.enc_out_len + 1
+        assert dm.train.y.shape == dm.train.x.shape
+        assert dm.num_classes is not None
+        if task == "autoregressive_ids":
+            assert dm.train_sampling is None
+            np.testing.assert_array_equal(dm.train.cond,
+                                          np.zeros(len(dm.train.x)))
+    # ids within valid range
+    if xdtype == np.int64 and task != "classification":
+        assert dm.train.x.max() < 8 + 2 or task.startswith("autoregressive")
+
+
+def test_synthetic_labels_have_signal():
+    vi, labels, _, _ = make_synthetic_arrays(n_cycles_per_run=40, seed=1)
+    good = vi[labels == 1].std(axis=(0, 1))
+    bad = vi[labels == 0].std(axis=(0, 1))
+    assert (bad > good).all()  # bad welds noisier by construction

@@ -1,0 +1,155 @@
+"""Training-engine tests: convergence, early stopping, checkpointing,
+metric namespace, grad accumulation."""
+import numpy as np
+import pytest
+
+import jax
+
+from vq_vae_transformer_arc_welding_tpu.data import (ASIMoWDataModule,
+                                                     get_val_test_ids)
+from vq_vae_transformer_arc_welding_tpu.data.synthetic import (
+    write_synthetic_csv)
+from vq_vae_transformer_arc_welding_tpu.log import CSVLogger
+from vq_vae_transformer_arc_welding_tpu.models import MLP, VQVAEPatch
+from vq_vae_transformer_arc_welding_tpu.train.loop import Trainer
+from vq_vae_transformer_arc_welding_tpu.train.optim import make_radam
+from vq_vae_transformer_arc_welding_tpu.train.tasks import (
+    ClassificationTask, ReconstructionTask)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("asimow_train")
+    write_synthetic_csv(str(d / "processed_asimow_dataset.csv"),
+                        n_cycles_per_run=40, extra_train_runs=4)
+    return str(d)
+
+
+def test_mlp_classification_end_to_end(data_dir, tmp_path):
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="classification", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=32,
+                          data_directory_path=data_dir)
+    dm.setup()
+    model = MLP(input_size=200, output_size=2, in_dim=2, hidden_sizes=64,
+                n_hidden_layers=2, dropout_p=0.1, learning_rate=1e-3)
+    params, state = model.init(0)
+    tx = make_radam(1e-3, clip_norm=0.42)
+    task = ClassificationTask(model)
+    logger = CSVLogger(str(tmp_path / "logs"), name="t")
+    tr = Trainer(max_epochs=10, logger=logger, monitor="val/f1_score_mean",
+                 mode="max", patience=5, min_delta=0.001,
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 checkpoint_name="MLP-best", verbose=False)
+    res = tr.fit(task, dm, params, state, tx)
+    assert res.best_score is not None and res.best_score > 0.7
+    assert res.best_ckpt_path is not None
+
+    # best-ckpt reload then test (reference train_classification_model.py:146-153)
+    m2, p2, s2 = MLP.load(res.best_ckpt_path)
+    metrics = tr.test(task, dm, p2, s2)
+    assert "test/f1_score_mean" in metrics
+    assert metrics["test/f1_score_mean"] > 0.6
+    assert {"test/loss", "test/acc", "test/acc_good", "test/acc_bad",
+            "test/f1_score"} <= set(metrics)
+    # CSV log written with reference metric names
+    import csv as _csv
+    with open(f"{logger.log_dir}/metrics.csv") as f:
+        cols = next(_csv.reader(f))
+    assert "val/f1_score_mean" in cols and "train/loss" in cols
+
+
+def test_vqvae_reconstruction_training_improves(data_dir, tmp_path):
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="reconstruction", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=64,
+                          data_directory_path=data_dir)
+    dm.setup()
+    model = VQVAEPatch(hidden_dim=32, input_dim=2, num_embeddings=16,
+                       embedding_dim=8, n_resblocks=1, learning_rate=2e-3,
+                       batch_norm=False)
+    params, state = model.init(0)
+    tx = make_radam(2e-3, clip_norm=0.7)
+    task = ReconstructionTask(model)
+    tr = Trainer(max_epochs=4, monitor="val/loss", mode="min", patience=5,
+                 min_delta=1e-4, checkpoint_dir=str(tmp_path / "ck"),
+                 save_last=True, verbose=False)
+    res = tr.fit(task, dm, params, state, tx)
+    losses = [h.get("val/loss") for h in res.history if "val/loss" in h]
+    assert losses[-1] < losses[0]
+    import os
+    assert os.path.exists(str(tmp_path / "ck" / "last.ckpt"))
+
+
+def test_early_stopping_triggers(data_dir):
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="classification", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=32,
+                          data_directory_path=data_dir)
+    dm.setup()
+    model = MLP(input_size=200, output_size=2, in_dim=2, hidden_sizes=8,
+                n_hidden_layers=0, learning_rate=0.0)  # lr 0: no improvement
+    params, state = model.init(0)
+    tx = make_radam(0.0)
+    tr = Trainer(max_epochs=30, monitor="val/f1_score_mean", mode="max",
+                 patience=2, min_delta=0.001, verbose=False)
+    res = tr.fit(ClassificationTask(model), dm, params, state, tx)
+    assert res.stopped_early
+    assert len(res.history) < 30
+
+
+def test_grad_accumulation_equivalent_to_large_batch(rng):
+    """mean-of-grads over accum microbatches == one big-batch grad."""
+    import jax.numpy as jnp
+    import optax
+    from vq_vae_transformer_arc_welding_tpu.data.datasets import ArraySplit
+
+    class DM:
+        batch_size = 8
+        drop_last = True
+        train_sampling = None
+        x = rng.standard_normal((32, 4)).astype(np.float32)
+        y = (x.sum(1) > 0).astype(np.int64)
+        train = ArraySplit(x, y)
+        val = ArraySplit(x[:8], y[:8])
+        test = val
+
+    model = MLP(input_size=4, output_size=2, in_dim=1, hidden_sizes=8,
+                n_hidden_layers=0, dropout_p=0.0, learning_rate=1e-2)
+    params, state = model.init(0)
+    task = ClassificationTask(model)
+
+    sgd = optax.sgd(1e-1)
+    tr = Trainer(max_epochs=1, accumulate_grad_batches=4, seed=7,
+                 verbose=False)
+    # fit donates its params/state buffers; keep independent copies
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+    res_acc = tr.fit(task, DM(), copy(params), copy(state), sgd)
+
+    # manual: same index stream, mean of per-microbatch grads
+    # (BatchNorm normalizes per microbatch, so this — not one 32-batch
+    # grad — is the accumulation contract)
+    key = jax.random.PRNGKey(7)
+    key, k_samp, _ = jax.random.split(key, 3)
+    groups = tr._train_indices(k_samp, 32, 8, None, True)
+
+    from vq_vae_transformer_arc_welding_tpu.train.metrics import cross_entropy
+
+    def loss_micro(p, idx):
+        logits, _ = model.apply(p, state, jnp.asarray(DM.x)[idx],
+                                train=True, rng=jax.random.PRNGKey(0))
+        return cross_entropy(logits, jnp.asarray(DM.y)[idx])
+
+    micro_grads = [jax.grad(loss_micro)(params, groups[0, m])
+                   for m in range(4)]
+    grads = jax.tree_util.tree_map(
+        lambda *gs: sum(gs) / 4.0, *micro_grads)
+    expected = optax.apply_updates(
+        params, sgd.update(grads, sgd.init(params), params)[0])
+    for a, b in zip(jax.tree_util.tree_leaves(res_acc.params),
+                    jax.tree_util.tree_leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -1,0 +1,325 @@
+"""Training engine: jitted epoch scans over device-resident data.
+
+Rebuild of the Lightning Trainer surface the reference relies on
+(fit/test, ModelCheckpoint best+last, EarlyStopping, gradient clipping
+via the optimizer chain, accumulate_grad_batches, weighted sampling) —
+restructured TPU-first:
+
+- the whole training epoch is ONE `lax.scan` over pre-gathered batch
+  indices: no per-batch host round-trip, no DataLoader workers
+  (SURVEY.md §2.2); per-batch metrics come back as stacked arrays once
+  per epoch;
+- weighted/uniform sampling happens on device with `jax.random`
+  (choice with replacement == WeightedRandomSampler, permutation ==
+  RandomSampler), seeded per epoch;
+- drop_last=False tails are handled by a second fixed-shape jitted
+  step so there are at most two compiled shapes per split;
+- early stopping and best-checkpoint selection run between epochs on
+  the host, matching Lightning semantics (min_delta, patience,
+  mode min/max — reference train_*.py:120-139, 186-197).
+"""
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .tasks import Task
+
+
+def _gather_batch(arrays, idx):
+    return tuple(a[idx] for a in arrays)
+
+
+@dataclass
+class FitResult:
+    params: Any
+    state: Any
+    best_score: float | None
+    best_epoch: int
+    history: list = field(default_factory=list)
+    best_ckpt_path: str | None = None
+    stopped_early: bool = False
+
+
+class Trainer:
+    def __init__(self, max_epochs: int = 1, logger=None, monitor: str | None = None,
+                 mode: str = "min", patience: int | None = None,
+                 min_delta: float = 0.0, checkpoint_dir: str | None = None,
+                 checkpoint_name: str = "best", save_last: bool = False,
+                 accumulate_grad_batches: int = 1, log_every_n_batches: int = 50,
+                 check_val_every_n_epoch: int = 1, seed: int = 0,
+                 metric_prefix: str = "", epoch_metric_hook=None,
+                 verbose: bool = True):
+        self.max_epochs = max_epochs
+        self.logger = logger
+        self.monitor = monitor
+        self.mode = mode
+        self.patience = patience
+        self.min_delta = min_delta
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_name = checkpoint_name
+        self.save_last = save_last
+        self.accum = accumulate_grad_batches
+        self.log_every = log_every_n_batches
+        self.check_val_every = check_val_every_n_epoch
+        self.seed = seed
+        self.metric_prefix = metric_prefix
+        self.epoch_metric_hook = epoch_metric_hook
+        self.verbose = verbose
+        self._step_counter = 0
+        self._eval_cache: dict = {}
+
+    # -- compiled steps ----------------------------------------------------
+
+    def _make_train_epoch(self, task: Task, tx, arrays, batch_size: int):
+        accum = self.accum
+
+        def micro_loss(params, state, batch, rng):
+            loss, metrics, new_state = task.loss_and_metrics(
+                params, state, batch, train=True, rng=rng)
+            return loss, (metrics, new_state)
+
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        def one_group(carry, group_idx):
+            params, state, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+
+            def micro(c, idx):
+                g_acc, state, key = c
+                key, k2 = jax.random.split(key)
+                batch = _gather_batch(arrays, idx)
+                (loss, (metrics, new_state)), grads = grad_fn(
+                    params, state, batch, k2)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, new_state, key), (loss, metrics)
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (g_sum, state, _), (losses, metrics) = jax.lax.scan(
+                micro, (zero, state, sub), group_idx)
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, state, opt_state, rng), (losses, metrics)
+
+        def epoch(params, state, opt_state, idx_groups, rng):
+            (params, state, opt_state, _), (losses, metrics) = jax.lax.scan(
+                one_group, (params, state, opt_state, rng), idx_groups)
+            flat_metrics = jax.tree_util.tree_map(
+                lambda m: m.reshape(-1), metrics)
+            return params, state, opt_state, losses.reshape(-1), flat_metrics
+
+        return jax.jit(epoch, donate_argnums=(0, 1, 2))
+
+    def _make_eval(self, task: Task, arrays):
+        def eval_batches(params, state, idx_batches):
+            def one(carry, idx):
+                batch = _gather_batch(arrays, idx)
+                _, metrics, _ = task.loss_and_metrics(
+                    params, state, batch, train=False, rng=None)
+                return carry, metrics
+            _, metrics = jax.lax.scan(one, None, idx_batches)
+            return metrics
+
+        return jax.jit(eval_batches)
+
+    # -- sampling ----------------------------------------------------------
+
+    def _train_indices(self, key, n: int, batch_size: int, weights,
+                       drop_last: bool):
+        """Per-epoch batch index matrix (n_groups, accum, batch_size).
+
+        Weighted sampling with replacement == WeightedRandomSampler;
+        uniform == RandomSampler. Batch counts that don't divide the
+        accumulation factor are rounded up by wrap-around resampling
+        (fixed scan shape) instead of a partial final group.
+        """
+        n_batches = n // batch_size if drop_last else -(-n // batch_size)
+        n_groups = max(1, n_batches // self.accum)
+        total = n_groups * self.accum * batch_size
+        if weights is not None:
+            p = weights / weights.sum()
+            idx = jax.random.choice(key, n, (total,), replace=True,
+                                    p=jnp.asarray(p))
+        else:
+            reps = -(-total // n)
+            perms = [jax.random.permutation(jax.random.fold_in(key, r), n)
+                     for r in range(reps)]
+            idx = jnp.concatenate(perms)[:total]
+        return idx.reshape(n_groups, self.accum, batch_size)
+
+    @staticmethod
+    def _eval_indices(n: int, batch_size: int, drop_last: bool):
+        full = n // batch_size
+        main = np.arange(full * batch_size).reshape(full, batch_size)
+        rem = None
+        if not drop_last and n % batch_size:
+            rem = np.arange(full * batch_size, n)
+        return main, rem
+
+    # -- metric plumbing ---------------------------------------------------
+
+    def _ns(self, task, name, split):
+        ns = getattr(task, "metric_namespace", None)
+        core = f"{ns}/{name}" if ns else name
+        return f"{self.metric_prefix}{split}/{core}"
+
+    def _log(self, metrics: dict, step: int):
+        if self.logger is not None:
+            self.logger.log_metrics(metrics, step=step)
+
+    def evaluate(self, task: Task, params, state, split, batch_size: int,
+                 drop_last: bool, split_name: str = "val"):
+        """Per-batch metrics then batch-mean aggregation (the
+        reference's f1_score_mean semantics, classification_model.py:154-171)."""
+        arrays = task.batch_arrays(split)
+        n = len(split.x)
+        main_idx, rem = self._eval_indices(n, batch_size, drop_last)
+        per_batch: dict[str, list] = {}
+        cache_key = (id(task), split_name)
+        if cache_key not in self._eval_cache:
+            eval_fn = self._make_eval(task, arrays)
+            rem_fn = jax.jit(lambda p, s, idx: task.loss_and_metrics(
+                p, s, _gather_batch(arrays, idx), train=False, rng=None)[1])
+            self._eval_cache[cache_key] = (eval_fn, rem_fn)
+        eval_fn, rem_fn = self._eval_cache[cache_key]
+        if len(main_idx):
+            stacked = eval_fn(params, state, jnp.asarray(main_idx))
+            for k, v in stacked.items():
+                per_batch.setdefault(k, []).extend(np.asarray(v).tolist())
+        if rem is not None and len(rem):
+            m = rem_fn(params, state, jnp.asarray(rem))
+            for k, v in m.items():
+                per_batch.setdefault(k, []).append(float(v))
+        means = {k: float(np.mean(v)) for k, v in per_batch.items()}
+        out = {self._ns(task, k, split_name): v for k, v in means.items()}
+        if "f1_score" in means and getattr(task, "metric_namespace", None) is None:
+            out[f"{self.metric_prefix}{split_name}/f1_score_mean"] = means["f1_score"]
+            out[f"{self.metric_prefix}{split_name}/acc_mean"] = means["acc"]
+        return out
+
+    # -- fit/test ----------------------------------------------------------
+
+    def fit(self, task: Task, datamodule, params, state, tx,
+            opt_state=None) -> FitResult:
+        if datamodule.train is None:
+            datamodule.setup("fit")
+        train_split = datamodule.train
+        arrays = task.batch_arrays(train_split)
+        batch_size = datamodule.batch_size
+        weights = (datamodule.train_sampling
+                   if task.weighted_sampler else None)
+        drop_last = getattr(datamodule, "drop_last", False)
+
+        if opt_state is None:
+            opt_state = tx.init(params)
+        epoch_fn = self._make_train_epoch(task, tx, arrays, batch_size)
+
+        best_score, best_epoch = None, -1
+        best_params, best_state = params, state
+        best_path = None
+        wait = 0
+        history = []
+        stopped = False
+        sign = 1.0 if self.mode == "max" else -1.0
+        key = jax.random.PRNGKey(self.seed)
+
+        for epoch in range(self.max_epochs):
+            key, k_samp, k_epoch = jax.random.split(key, 3)
+            idx_groups = self._train_indices(
+                k_samp, len(train_split.x), batch_size, weights, drop_last)
+            t0 = time.perf_counter()
+            params, state, opt_state, losses, tr_metrics = epoch_fn(
+                params, state, opt_state, idx_groups, k_epoch)
+            losses = np.asarray(losses)
+            dt = time.perf_counter() - t0
+
+            # train logging at log_every cadence (reference logs train
+            # metrics every 50 batches, classification_model.py:115)
+            tr_np = {k: np.asarray(v) for k, v in tr_metrics.items()}
+            for b in range(0, len(losses), self.log_every):
+                row = {self._ns(task, k, "train"): float(v[b])
+                       for k, v in tr_np.items()}
+                self._log(row, step=self._step_counter + b)
+            self._step_counter += len(losses)
+
+            row = {f"train_epoch/{k}": float(np.mean(v))
+                   for k, v in tr_np.items()}
+            row["epoch"] = epoch
+            row["train_epoch/time_s"] = dt
+            row["train_epoch/batches_per_s"] = len(losses) * self.accum / dt
+
+            if (epoch + 1) % self.check_val_every == 0:
+                val_metrics = self.evaluate(task, params, state,
+                                            datamodule.val, batch_size,
+                                            drop_last, "val")
+                if self.epoch_metric_hook:
+                    self.epoch_metric_hook(epoch, val_metrics)
+                row.update(val_metrics)
+                self._log({**val_metrics, "epoch": epoch},
+                          step=self._step_counter)
+                if self.verbose:
+                    mon = (f" {self.monitor}="
+                           f"{val_metrics.get(self.monitor, float('nan')):.4f}"
+                           if self.monitor else "")
+                    print(f"epoch {epoch:3d} "
+                          f"loss={float(np.mean(losses)):.4f}{mon} "
+                          f"({dt:.1f}s)")
+
+                if self.monitor is not None:
+                    score = val_metrics.get(self.monitor)
+                    if score is not None:
+                        improved = (best_score is None
+                                    or sign * (score - best_score) > self.min_delta)
+                        if improved:
+                            best_score, best_epoch = score, epoch
+                            best_params = jax.tree_util.tree_map(
+                                lambda x: np.asarray(x), params)
+                            best_state = jax.tree_util.tree_map(
+                                lambda x: np.asarray(x), state)
+                            wait = 0
+                            if self.checkpoint_dir:
+                                best_path = os.path.join(
+                                    self.checkpoint_dir,
+                                    f"{self.checkpoint_name}.ckpt")
+                                task.model.save(best_path, best_params,
+                                                best_state,
+                                                extra={"epoch": epoch,
+                                                       self.monitor: score})
+                        else:
+                            wait += 1
+                            if (self.patience is not None
+                                    and wait >= self.patience):
+                                history.append(row)
+                                stopped = True
+                                break
+            history.append(row)
+
+        if self.checkpoint_dir and self.save_last:
+            task.model.save(os.path.join(self.checkpoint_dir, "last.ckpt"),
+                            params, state, extra={"epoch": epoch})
+        if self.monitor is None or best_score is None:
+            best_params, best_state = params, state
+        return FitResult(best_params, best_state, best_score, best_epoch,
+                         history, best_path, stopped)
+
+    def test(self, task: Task, datamodule, params, state,
+             split_name: str = "test"):
+        if datamodule.train is None:
+            datamodule.setup("test")
+        split = getattr(datamodule, split_name)
+        drop_last = getattr(datamodule, "drop_last", False)
+        metrics = self.evaluate(task, params, state, split,
+                                datamodule.batch_size, drop_last, split_name)
+        self._log(metrics, step=self._step_counter)
+        if "f1_score" in "".join(metrics) and self.verbose:
+            print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+        return metrics

@@ -1,0 +1,114 @@
+"""Task adapters: bind a model to its loss/metrics and batch layout.
+
+The reference encodes per-task behavior in LightningModule step methods
+(autencoder_lightning_base.py:86-120, classification_model.py:110-152,
+transformer_decoder.py:139-201); here each task is a small adapter the
+Trainer drives through one jitted scan. Metric names match the
+reference namespace exactly.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .metrics import classification_metrics, cross_entropy
+
+
+class Task:
+    """Interface: batch_arrays(split), loss_and_metrics(...)."""
+    model = None
+    weighted_sampler = False
+
+    def batch_arrays(self, split):
+        raise NotImplementedError
+
+    def loss_and_metrics(self, params, state, batch, *, train, rng):
+        raise NotImplementedError
+
+
+class ReconstructionTask(Task):
+    """VQ-VAE training (reference autencoder_lightning_base.py:80-120)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def batch_arrays(self, split):
+        return (jnp.asarray(split.x, jnp.float32),)
+
+    def loss_and_metrics(self, params, state, batch, *, train, rng):
+        (x,) = batch
+        loss, (metrics, new_state) = self.model.loss_fn(
+            params, state, x, train=train, rng=rng)
+        return loss, metrics, new_state
+
+
+class ClassificationTask(Task):
+    """MLP/GRU/MLPEmbedding binary classification
+    (reference classification_model.py:85-152)."""
+
+    weighted_sampler = True
+
+    def __init__(self, model, ids_input: bool = False):
+        self.model = model
+        self.ids_input = ids_input
+
+    def batch_arrays(self, split):
+        x = jnp.asarray(split.x,
+                        jnp.int32 if self.ids_input else jnp.float32)
+        if self.ids_input:
+            x = x.reshape(x.shape[0], -1)
+        return x, jnp.asarray(split.y, jnp.int32)
+
+    def loss_and_metrics(self, params, state, batch, *, train, rng):
+        x, y = batch
+        logits, new_state = self.model.apply(params, state, x, train=train,
+                                             rng=rng)
+        loss = cross_entropy(logits, y)
+        metrics = {"loss": loss, **classification_metrics(logits, y)}
+        return loss, metrics, new_state
+
+
+class TransformerGenTask(Task):
+    """Next-token generation over latent ids
+    (reference transformer_decoder.py:145-149)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def batch_arrays(self, split):
+        return (jnp.asarray(split.x, jnp.int32),
+                jnp.asarray(split.cond, jnp.int32),
+                jnp.asarray(split.y, jnp.int32))
+
+    def loss_and_metrics(self, params, state, batch, *, train, rng):
+        x, _, y = batch
+        logits, new_state = self.model.apply(params, state, x, train=train,
+                                             rng=rng, generate=True)
+        loss = self.model.loss_gen(logits, y)
+        return loss, {"loss": loss}, new_state
+
+
+class TransformerClassTask(Task):
+    """Binary quality classification via the class head
+    (reference transformer_decoder.py:151-167). Metric namespace uses
+    the reference's `cl/` prefix."""
+
+    weighted_sampler = True
+    metric_namespace = "cl"
+
+    def __init__(self, model):
+        self.model = model
+
+    def batch_arrays(self, split):
+        return (jnp.asarray(split.x, jnp.int32),
+                jnp.asarray(split.cond, jnp.int32),
+                jnp.asarray(split.y, jnp.int32))
+
+    def loss_and_metrics(self, params, state, batch, *, train, rng):
+        x, cond, _ = batch
+        logits, new_state = self.model.apply(params, state, x, train=train,
+                                             rng=rng, generate=False)
+        loss = self.model.loss_class(logits, cond)
+        m = classification_metrics(logits, cond)
+        metrics = {"loss": loss, "acc": m["acc"], "f1_score": m["f1_score"]}
+        return loss, metrics, new_state
