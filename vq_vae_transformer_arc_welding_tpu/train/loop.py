@@ -40,13 +40,16 @@ def _gather_batch(arrays, idx):
 
 @dataclass
 class FitResult:
-    params: Any
+    params: Any                      # best by monitor (or final if none)
     state: Any
     best_score: float | None
     best_epoch: int
     history: list = field(default_factory=list)
     best_ckpt_path: str | None = None
     stopped_early: bool = False
+    final_params: Any = None         # weights at the end of fit
+    final_state: Any = None
+    opt_state: Any = None
 
 
 class Trainer:
@@ -309,7 +312,9 @@ class Trainer:
         if self.monitor is None or best_score is None:
             best_params, best_state = params, state
         return FitResult(best_params, best_state, best_score, best_epoch,
-                         history, best_path, stopped)
+                         history, best_path, stopped,
+                         final_params=params, final_state=state,
+                         opt_state=opt_state)
 
     def test(self, task: Task, datamodule, params, state,
              split_name: str = "test"):
