@@ -1,0 +1,163 @@
+"""North-star benchmark: welding windows/sec through the fused
+encode + VQ + transformer-classify pipeline on TPU (BASELINE.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "windows/s", "vs_baseline": N}
+
+vs_baseline compares against the reference architecture executed with
+torch on the CPU of this host (the reference's GPU is not available
+here; the reference publishes no numbers of its own — BASELINE.md). A
+window = n_cycles(=20) welding cycles = 4000 samples x 2 channels,
+classified end-to-end: patch-embed -> conv encoder -> codebook
+nearest-neighbor -> 321-token causal transformer -> quality logits.
+
+Model config matches the benchmark config set: VQ-VAE hidden 512,
+K=256, D=32, 8 resblocks, patch 25; transformer d512, 8 blocks,
+8 heads (BASELINE.json configs).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 64
+N_CYCLES = 20
+CYCLE_LEN = 200
+WARMUP = 3
+ITERS = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tpu_windows_per_sec(batch=BATCH, iters=ITERS):
+    import __graft_entry__ as g
+    vq, tr, vq_params, vq_state, tr_params = g._build()
+    fn = jax.jit(g.make_pipeline(vq, tr))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, N_CYCLES * CYCLE_LEN, 2)), jnp.float32)
+    args = (vq_params, vq_state, tr_params, x)
+
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    log(f"compile+first: {time.perf_counter() - t0:.1f}s on "
+        f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}")
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    wps = batch * iters / dt
+    log(f"tpu: {iters} iters x {batch} windows in {dt:.3f}s -> {wps:.1f} windows/s")
+    return wps
+
+
+def torch_cpu_baseline(batch=16, iters=2):
+    """Reference-architecture pipeline with torch on host CPU."""
+    try:
+        import torch
+        from torch import nn
+    except ImportError:
+        return None
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+
+    h, k, d, n_res, patch = 512, 256, 32, 8, 25
+    d_model, n_blocks, n_heads = 512, 8, 8
+    seq_len = N_CYCLES * 16 + 1
+
+    class Res(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.b = nn.Sequential(nn.GELU(), nn.Conv1d(h, h, 3, 1, 1),
+                                   nn.GELU(), nn.Conv1d(h, h, 3, 1, 1))
+
+        def forward(self, x):
+            return x + self.b(x)
+
+    patch_conv = nn.Conv1d(1, h, patch, patch)
+    enc_blocks = nn.Sequential(*[Res() for _ in range(n_res)])
+    sep = nn.Conv1d(h, d, 1)
+    codebook = torch.randn(k, d)
+    tok_emb = nn.Embedding(k + 2, d_model)
+    blocks = nn.ModuleList()
+    for _ in range(n_blocks):
+        blk = nn.ModuleDict(dict(
+            ln1=nn.LayerNorm(d_model), attn=nn.Linear(d_model, 3 * d_model),
+            proj=nn.Linear(d_model, d_model), ln2=nn.LayerNorm(d_model),
+            fc=nn.Linear(d_model, 4 * d_model),
+            fproj=nn.Linear(4 * d_model, d_model)))
+        blocks.append(blk)
+    ln_f = nn.LayerNorm(d_model)
+    l1 = nn.Linear(d_model, 1, bias=False)
+    l2 = nn.Linear(seq_len, 2, bias=False)
+    mask = torch.tril(torch.ones(seq_len, seq_len)) == 0
+
+    def forward(x):  # x (B, 4000, 2)
+        b = x.shape[0]
+        cyc = x.reshape(b * N_CYCLES, CYCLE_LEN, 2)
+        flat = cyc.permute(0, 2, 1).reshape(cyc.shape[0], 1, -1)
+        hpe = patch_conv(flat)                       # (B*n, h, 16)
+        # reference per-position loop (vq_vae_patch_embedd.py:103-114)
+        outs = [enc_blocks(hpe[:, :, i].unsqueeze(2)) for i in range(16)]
+        henc = torch.cat(outs, dim=2)
+        z = torch.cat([sep(henc[:, :, i].unsqueeze(2)) for i in range(16)],
+                      dim=2).permute(0, 2, 1)        # (B*n, 16, d)
+        zf = z.reshape(-1, d)
+        dist = (zf ** 2).sum(1, keepdim=True) + (codebook ** 2).sum(1) \
+            - 2 * zf @ codebook.t()
+        ids = dist.argmin(1).reshape(b, -1)
+        ids = torch.cat([torch.full((b, 1), k, dtype=torch.long), ids], 1)
+        t = tok_emb(ids)
+        for blk in blocks:
+            hh = blk["ln1"](t)
+            q, kk, v = blk["attn"](hh).split(d_model, dim=2)
+            shp = (b, seq_len, n_heads, d_model // n_heads)
+            q, kk, v = (z2.view(shp).transpose(1, 2) for z2 in (q, kk, v))
+            att = (q @ kk.transpose(-2, -1)) / (d_model // n_heads) ** 0.5
+            att = att.masked_fill(mask, float("-inf")).softmax(-1)
+            t = t + blk["proj"]((att @ v).transpose(1, 2).reshape(
+                b, seq_len, d_model))
+            hh = blk["ln2"](t)
+            t = t + blk["fproj"](torch.nn.functional.gelu(blk["fc"](hh),
+                                                          approximate="tanh"))
+        t = ln_f(t)
+        return l2(torch.nn.functional.gelu(l1(t).squeeze(-1)))
+
+    x = torch.randn(batch, N_CYCLES * CYCLE_LEN, 2)
+    with torch.no_grad():
+        forward(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            forward(x)
+        dt = time.perf_counter() - t0
+    wps = batch * iters / dt
+    log(f"torch-cpu baseline: {iters} x {batch} windows in {dt:.3f}s "
+        f"-> {wps:.1f} windows/s")
+    return wps
+
+
+def main():
+    wps = tpu_windows_per_sec()
+    base = torch_cpu_baseline()
+    vs = (wps / base) if base else None
+    print(json.dumps({
+        "metric": "windows_per_sec_encode_vq_transformer_classify",
+        "value": round(wps, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

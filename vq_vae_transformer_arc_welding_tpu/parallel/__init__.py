@@ -1,0 +1,2 @@
+from .mesh import make_mesh, replicated, dp_spec
+from .sharding import transformer_tp_rules, shard_params

@@ -60,7 +60,7 @@ class Trainer:
                  accumulate_grad_batches: int = 1, log_every_n_batches: int = 50,
                  check_val_every_n_epoch: int = 1, seed: int = 0,
                  metric_prefix: str = "", epoch_metric_hook=None,
-                 verbose: bool = True):
+                 verbose: bool = True, mesh=None, param_rules=None):
         self.max_epochs = max_epochs
         self.logger = logger
         self.monitor = monitor
@@ -77,8 +77,30 @@ class Trainer:
         self.metric_prefix = metric_prefix
         self.epoch_metric_hook = epoch_metric_hook
         self.verbose = verbose
+        self.mesh = mesh              # jax.sharding.Mesh for SPMD DP(+TP)
+        self.param_rules = param_rules  # leaf-name -> PartitionSpec, or None
         self._step_counter = 0
         self._eval_cache: dict = {}
+
+    def _place(self, params, state, arrays):
+        """Computation-follows-data SPMD placement: params per rules
+        (default replicated), data arrays replicated; batch indices are
+        sharded over 'data' at use sites. XLA then partitions the epoch
+        scan and inserts the gradient/EMA all-reduces."""
+        if self.mesh is None:
+            return params, state, arrays, None, None
+        from ..parallel.mesh import put_replicated
+        from ..parallel.sharding import shard_params
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.param_rules is not None:
+            params = shard_params(params, self.mesh, self.param_rules)
+        else:
+            params = put_replicated(params, self.mesh)
+        state = put_replicated(state, self.mesh)
+        arrays = tuple(put_replicated(a, self.mesh) for a in arrays)
+        idx3 = NamedSharding(self.mesh, P(None, None, "data"))
+        idx2 = NamedSharding(self.mesh, P(None, "data"))
+        return params, state, arrays, idx3, idx2
 
     # -- compiled steps ----------------------------------------------------
 
@@ -185,6 +207,12 @@ class Trainer:
         reference's f1_score_mean semantics, classification_model.py:154-171)."""
         arrays = task.batch_arrays(split)
         n = len(split.x)
+        idx2_sharding = None
+        if self.mesh is not None:
+            params, state, arrays, _, idx2_sharding = self._place(
+                params, state, arrays)
+            if batch_size % self.mesh.shape["data"]:
+                idx2_sharding = None
         main_idx, rem = self._eval_indices(n, batch_size, drop_last)
         per_batch: dict[str, list] = {}
         cache_key = (id(task), split_name)
@@ -195,7 +223,10 @@ class Trainer:
             self._eval_cache[cache_key] = (eval_fn, rem_fn)
         eval_fn, rem_fn = self._eval_cache[cache_key]
         if len(main_idx):
-            stacked = eval_fn(params, state, jnp.asarray(main_idx))
+            main_idx = jnp.asarray(main_idx)
+            if idx2_sharding is not None:
+                main_idx = jax.device_put(main_idx, idx2_sharding)
+            stacked = eval_fn(params, state, main_idx)
             for k, v in stacked.items():
                 per_batch.setdefault(k, []).extend(np.asarray(v).tolist())
         if rem is not None and len(rem):
@@ -222,6 +253,11 @@ class Trainer:
                    if task.weighted_sampler else None)
         drop_last = getattr(datamodule, "drop_last", False)
 
+        params, state, arrays, idx3_sharding, _ = self._place(
+            params, state, arrays)
+        if (idx3_sharding is not None
+                and batch_size % self.mesh.shape["data"]):
+            idx3_sharding = None  # uneven batch: run replicated
         if opt_state is None:
             opt_state = tx.init(params)
         epoch_fn = self._make_train_epoch(task, tx, arrays, batch_size)
@@ -239,6 +275,8 @@ class Trainer:
             key, k_samp, k_epoch = jax.random.split(key, 3)
             idx_groups = self._train_indices(
                 k_samp, len(train_split.x), batch_size, weights, drop_last)
+            if idx3_sharding is not None:
+                idx_groups = jax.device_put(idx_groups, idx3_sharding)
             t0 = time.perf_counter()
             params, state, opt_state, losses, tr_metrics = epoch_fn(
                 params, state, opt_state, idx_groups, k_epoch)
