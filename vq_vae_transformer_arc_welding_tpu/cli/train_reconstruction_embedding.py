@@ -57,6 +57,70 @@ def build_parser():
     return parser
 
 
+def classify_latent_space(latent_model_triplet, logger, val_ids, test_ids,
+                          n_cycles, model_name, dataset,
+                          classification_model, learning_rate,
+                          clipping_value, data_dir=None, max_epochs=1):
+    """Chained latent-space classification eval after VQ-VAE training
+    (reference train_reconstruction_embedding.py:30-111; its call site
+    is commented out at :213 — same here, available but not invoked by
+    main). Trains an MLP/GRU probe on the frozen latents for one epoch
+    and pushes summary metrics, then removes the cached latent dataset."""
+    import shutil
+
+    from ..data.latent import LatentPredDataModule
+    from ..models.gru import GRU
+    from ..models.mlp import MLP
+    from ..train.tasks import ClassificationTask
+    from .shared import print_training_input_shape, push_summary
+
+    model, params, state = latent_model_triplet
+    dm = LatentPredDataModule(
+        (model, params, state), task="classification", n_cycles=n_cycles,
+        val_data_ids=val_ids, test_data_ids=test_ids, model_name=model_name,
+        model_id=f"{model_name}-{dataset}", batch_size=128,
+        data_directory_path=data_dir)
+    print_training_input_shape(dm)
+
+    input_dim = int(model.embedding_dim * model.enc_out_len)
+    if classification_model == "MLP":
+        Probe = MLP
+    elif classification_model == "GRU":
+        Probe = GRU
+    else:
+        raise ValueError(
+            f"Invalid classification model name: {classification_model}")
+    probe = Probe(input_size=n_cycles, in_dim=input_dim, hidden_sizes=128,
+                  dropout_p=0.1, n_hidden_layers=4, output_size=2,
+                  learning_rate=learning_rate)
+    p, s = probe.init(0)
+    tx = make_radam(learning_rate, clip_norm=clipping_value)
+    trainer = Trainer(
+        max_epochs=max_epochs, logger=logger, monitor="val/f1_score_mean",
+        mode="max", patience=10, min_delta=0.0001,
+        checkpoint_dir=f"model_checkpoints/VQ-VAE-{classification_model}/",
+        checkpoint_name=f"VQ-VAE-{classification_model}-{dataset}-best")
+    task = ClassificationTask(probe)
+    res = trainer.fit(task, dm, p, s, tx)
+    print(f"best score: {res.best_score}")
+    print("------ Testing ------")
+    test_metrics = trainer.test(task, dm, res.final_params, res.final_state)
+    val_metrics = trainer.evaluate(task, res.final_params, res.final_state,
+                                   dm.val, dm.batch_size, False, "val")
+    push_summary(logger, {
+        "val/mean_f1_score": res.best_score,
+        "val/mean_acc": val_metrics.get("val/acc_mean"),
+        "test/mean_f1_score": test_metrics.get("test/f1_score_mean"),
+        "test/mean_acc": test_metrics.get("test/acc_mean")})
+
+    # clean up cached latent dataset (reference :108-111)
+    log.info("Cleaning up latent dataloader folder")
+    cache_dir = getattr(dm, "cache_dir", None)
+    if cache_dir:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    return test_metrics
+
+
 def main(hparams):
     model_name = hparams.model_name
     batch_norm = bool(hparams.batchnorm)

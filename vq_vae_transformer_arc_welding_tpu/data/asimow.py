@@ -188,3 +188,18 @@ class ASIMoWDataModule:
 
     def input_shape(self):
         return self.train.x.shape[1:]
+
+
+def load_npy_data(config, val_ids, test_ids, task: str = "classification"):
+    """Numpy export of the three splits (reference
+    asimow_dataloader.py:369-409 — orphan helper kept for parity;
+    notebook/TS2Vec-style experiments consume it). `config` needs
+    .batch_size and .n_cycles. Returns
+    (train_x, train_y, val_x, val_y, test_x, test_y), labels None for
+    reconstruction."""
+    dm = ASIMoWDataModule(task=task, batch_size=config.batch_size,
+                          n_cycles=config.n_cycles, val_data_ids=val_ids,
+                          test_data_ids=test_ids,
+                          data_directory_path=getattr(config, "data_dir", None))
+    dm.setup("fit")
+    return (dm.train.x, dm.train.y, dm.val.x, dm.val.y, dm.test.x, dm.test.y)

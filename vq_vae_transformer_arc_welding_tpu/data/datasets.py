@@ -58,3 +58,16 @@ def sampling_weights(labels: np.ndarray) -> np.ndarray:
 def shuffle_arrays(rng: np.random.Generator, *arrays):
     idx = rng.permutation(len(arrays[0]))
     return tuple(a[idx] if a is not None else None for a in arrays)
+
+
+def shuffle_and_undersample(rng: np.random.Generator, x: np.ndarray,
+                            y: np.ndarray):
+    """Shuffle, then balance classes by undersampling the majority to
+    the minority count (reference dataloader/utils.py:18-30)."""
+    x, y = shuffle_arrays(rng, x, y)
+    min_len = min(int(np.sum(y == 1)), int(np.sum(y == 0)))
+    x_zeros = x[(y == 0).reshape(-1)][:min_len]
+    x_ones = x[(y == 1).reshape(-1)][:min_len]
+    x = np.concatenate([x_zeros, x_ones])
+    y = np.concatenate([np.zeros(min_len, y.dtype), np.ones(min_len, y.dtype)])
+    return shuffle_arrays(rng, x, y)

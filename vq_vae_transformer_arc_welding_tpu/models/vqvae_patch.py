@@ -52,7 +52,7 @@ class VQVAEPatch(Module):
                  dropout_p: float = 0.1, patch_size: int = 25, seq_len: int = 200,
                  batch_norm: bool = True, beta: float = 0.25,
                  use_improved_vq: bool = False, kmeans_iters: int = 0,
-                 threshold_ema_dead_code: int = 2):
+                 threshold_ema_dead_code: int = 2, vq_impl: str = "xla"):
         if patch_size not in INVERSE_PATCH_PLANS:
             raise NotImplementedError(f"Patch size not implemented: {patch_size}")
         self.hidden_dim = hidden_dim
@@ -69,6 +69,8 @@ class VQVAEPatch(Module):
         self.use_improved_vq = use_improved_vq
         self.kmeans_iters = kmeans_iters
         self.threshold_ema_dead_code = threshold_ema_dead_code
+        # runtime option (not an hparam): 'xla' or 'pallas' nearest-code path
+        self.vq_impl = vq_impl
         # tokens per cycle: 200//25 * 2 = 16 (reference :149)
         self.enc_out_len = seq_len // patch_size * input_dim
         self.n_patches = (seq_len * input_dim) // patch_size
@@ -183,6 +185,12 @@ class VQVAEPatch(Module):
         z_e = center_tap_dense(h, params["sep_conv"]["w"], params["sep_conv"]["b"])
         return z_e, enc_bn
 
+    def _nearest_fn(self):
+        if self.vq_impl == "pallas":
+            from ..ops.pallas_vq import nearest_codes_pallas
+            return nearest_codes_pallas
+        return None  # ops.vq default
+
     def quantize(self, params, state, z_e, *, train=False, rng=None):
         """Dispatch classic vs improved (EMA/kmeans) VQ. Returns
         (VQOutput, new_vq_state)."""
@@ -191,7 +199,8 @@ class VQVAEPatch(Module):
                 z_e, state["vq"], beta=self.beta, train=train, rng=rng,
                 kmeans_iters=self.kmeans_iters,
                 threshold_ema_dead_code=self.threshold_ema_dead_code)
-        return vq_quantize(z_e, params["vq"]["codebook"], self.beta), None
+        return vq_quantize(z_e, params["vq"]["codebook"], self.beta,
+                           nearest_fn=self._nearest_fn()), None
 
     def decode(self, params, state, z_q, *, train=False, rng=None):
         """z_q (B, enc_out_len, D) -> x_hat (B, seq_len, input_dim)."""
@@ -232,9 +241,9 @@ class VQVAEPatch(Module):
         if self.use_improved_vq:
             return vq_ema.nearest_ema(z_e, state["vq"])
         from ..ops.vq import nearest_codes
+        find = self._nearest_fn() or nearest_codes
         flat = z_e.reshape(-1, self.embedding_dim)
-        return nearest_codes(flat, params["vq"]["codebook"]).reshape(
-            z_e.shape[:-1])
+        return find(flat, params["vq"]["codebook"]).reshape(z_e.shape[:-1])
 
     def encode_zq(self, params, state, x):
         """Frozen-encoder quantized vectors (B, enc_out_len, D)."""
@@ -242,6 +251,16 @@ class VQVAEPatch(Module):
         cb = (state["vq"].codebook if self.use_improved_vq
               else params["vq"]["codebook"])
         return vq_lookup(idx, cb)
+
+    def forward_ood(self, params, state, x):
+        """Per-sample OOD score via latent quantization error
+        (reference vector_quantizer.py:41-56). x: (B, seq_len, C) -> (B,)."""
+        z_e, _ = self.encode(params, state, x, train=False)
+        if self.use_improved_vq:
+            return vq_ema.quantize_ood(z_e, state["vq"])
+        idx = self.encode_indices(params, state, x)
+        z_q = vq_lookup(idx, params["vq"]["codebook"])
+        return jnp.mean((jax.lax.stop_gradient(z_q) - z_e) ** 2, axis=(1, 2))
 
     def loss_fn(self, params, state, x, *, train, rng):
         """MSE recon + embedding loss (reference autencoder_lightning_base.py:80-84)."""

@@ -131,3 +131,12 @@ def quantize_ema(z_e, state: EMAState, *, beta: float = 0.25, train: bool,
     out = VQOutput(commit_loss, z_q_st, perplexity,
                    idx_flat.reshape(z_e.shape[:-1]))
     return out, new_state
+
+
+def quantize_ood(z_e, state: EMAState):
+    """Per-sample out-of-distribution score: mean squared distance of
+    each sample's latents to their nearest codes (reference
+    vector_quantizer.py:41-56 forward_ood). z_e: (B, T, D) -> (B,)."""
+    idx = nearest_ema(z_e, state)
+    z_q = jnp.take(state.codebook, idx, axis=0)
+    return jnp.mean((jax.lax.stop_gradient(z_q) - z_e) ** 2, axis=(1, 2))

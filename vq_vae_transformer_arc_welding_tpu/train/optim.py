@@ -28,6 +28,20 @@ def make_radam(learning_rate: float, *, betas=(0.9, 0.999), eps: float = 1e-8,
     return optax.chain(*parts)
 
 
+def cosine_warmup_schedule(warmup: int, max_iters: int):
+    """Cosine LR factor with linear warmup (reference
+    classification_model.py:10-24 CosineWarmupScheduler — defined but
+    unused there; exposed here as a first-class optax schedule)."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        factor = 0.5 * (1 + jnp.cos(jnp.pi * step / max_iters))
+        return jnp.where(step <= warmup,
+                         factor * step / jnp.maximum(warmup, 1), factor)
+
+    return schedule
+
+
 def make_transformer_optimizer(model, params, *, clip_norm: float | None = 0.8):
     """RAdam(betas 0.9/0.95) with the minGPT decay/no-decay split."""
     mask = model.decay_mask(params)
