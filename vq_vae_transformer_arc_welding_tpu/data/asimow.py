@@ -42,14 +42,27 @@ def get_data_path() -> str:
     return "data"
 
 
-def load_asimow_csv(path: str):
+def load_asimow_csv(path: str, use_native: bool = True):
     """Parse processed_asimow_dataset.csv.
 
     Returns (vi (N, 200, 2) float32 [V then I], labels (N,) int64,
     experiment (N,) int64, welding_run (N,) int64). Id columns are
     located by header name; V/I by position 3:203 / 203:403 like the
     reference (asimow_dataloader.py:240-246).
+
+    The C++ streaming parser (native/csv_parser.cpp) is preferred — it
+    replaces the reference's pandas parse + DataLoader worker pool with
+    a single pass writing straight into packed arrays — with automatic
+    fallback to pandas/numpy when no compiler is available.
     """
+    if use_native:
+        try:
+            from ..native.csv_loader import parse_asimow_csv_native
+            result = parse_asimow_csv_native(path)
+            if result is not None:
+                return result
+        except Exception:
+            pass
     try:
         import pandas as pd
         df = pd.read_csv(path)

@@ -1,0 +1,58 @@
+"""Lazy build + load of the native library (ctypes, no pybind11)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "csv_parser.cpp")
+_LIB = os.path.join(_HERE, "libarcweld_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def build_native_lib(force: bool = False) -> str | None:
+    """Compile the shared library if needed. Returns path or None."""
+    if not force and os.path.exists(_LIB) \
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120)
+        return _LIB
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
+def load_native_lib():
+    """Returns the loaded ctypes library or None (cached)."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        path = build_native_lib()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        lib.asimow_count_rows.argtypes = [ctypes.c_char_p]
+        lib.asimow_count_rows.restype = ctypes.c_int64
+        lib.asimow_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.asimow_parse.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
