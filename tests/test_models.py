@@ -106,6 +106,24 @@ def test_transformer_generate_greedy_matches_twin(rng):
     np.testing.assert_array_equal(np.asarray(ours), x.numpy())
 
 
+def test_generate_kv_matches_generate(rng):
+    """KV-cached sampling must reproduce the full-recompute path
+    exactly (greedy and sampled with identical key streams)."""
+    import jax.numpy as jnp
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=10, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    start = jnp.full((3, 1), 16, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(m.generate(params, start, do_sample=False)),
+        np.asarray(m.generate_kv(params, start, do_sample=False)))
+    k = jax.random.PRNGKey(7)
+    np.testing.assert_array_equal(
+        np.asarray(m.generate(params, start, do_sample=True, top_k=5, rng=k)),
+        np.asarray(m.generate_kv(params, start, do_sample=True, top_k=5,
+                                 rng=k)))
+
+
 def test_mlp_matches_twin(rng):
     twin = TwinMLP(input_size=10, in_dim=4, hidden=16, n_hidden=2)
     twin.eval()

@@ -28,3 +28,16 @@ def get_val_test_ids() -> dict:
         "val_ids": ((3, 3), (2, 10), (1, 24), (3, 24),
                     (1, 32), (2, 1), (1, 10), (1, 16)),
     }
+
+
+def select_random_val_test_ids(rng=None):
+    """Random good/bad run picks for ad-hoc splits (parity:
+    dataloader/utils.py:100-107)."""
+    import numpy as np
+    rng = rng or np.random.default_rng()
+    good_examples = [2, 3, 22, 24, 26, 27, 28]
+    bad_examples = [16, 5, 7, 8, 9, 10, 11, 13, 14, 15, 20, 21, 23, 30,
+                    31, 32]
+    good_val_id, good_test_id = rng.choice(good_examples, 2, replace=False)
+    bad_val_id, bad_test_id = rng.choice(bad_examples, 2, replace=False)
+    return good_val_id, bad_val_id, good_test_id, bad_test_id

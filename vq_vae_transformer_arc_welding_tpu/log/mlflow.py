@@ -71,6 +71,24 @@ class MLFlowLogger(Logger):
                      type_: str = "model"):
         self._mlflow.log_artifact(path)
 
+    def log_notebook_html(self, notebook_path: str):
+        """Convert a notebook to HTML and log it as an artifact
+        (parity: reference mlflow_helper.py:86-111). Requires nbconvert;
+        logs the raw .ipynb if conversion is unavailable."""
+        import subprocess
+        import tempfile
+        try:
+            out_dir = tempfile.mkdtemp()
+            subprocess.run(
+                ["jupyter", "nbconvert", "--to", "html", notebook_path,
+                 "--output-dir", out_dir],
+                check=True, capture_output=True, timeout=120)
+            import os
+            base = os.path.splitext(os.path.basename(notebook_path))[0]
+            self._mlflow.log_artifact(os.path.join(out_dir, base + ".html"))
+        except Exception:
+            self._mlflow.log_artifact(notebook_path)
+
     def finalize(self, status: str = "success"):
         self._mlflow.end_run(status="FINISHED" if status == "success"
                              else "FAILED")

@@ -67,6 +67,26 @@ def plot_recon_wandb_table(targets, predictions, run, key: str = "reconstruction
     return table
 
 
+def plot_single_cv(x, y, out_path: str | None = None):
+    """Twin-axis voltage/current plot of one cycle, titled by quality
+    (parity: dataloader/utils.py:71-79). x: (T, 2); y: 1=good, 0=bad."""
+    import matplotlib
+    matplotlib.use("agg")
+    from matplotlib import pyplot as plt
+
+    x = np.asarray(x)
+    fig, ax1 = plt.subplots()
+    ax1.plot(x[:, 0])
+    ax2 = ax1.twinx()
+    ax2.plot(x[:, 1], color="red")
+    plt.title("good" if y == 1 else "bad")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path)
+        plt.close(fig)
+    return fig
+
+
 def plot_recon_threaded(target, prediction, out_path: str):
     """Threaded matplotlib plot (reference :91-94)."""
     th = threading.Thread(target=plot_recon_matplotlib,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.activations import gelu, new_gelu
-from ..ops.attention import causal_self_attention
+from ..ops.attention import causal_self_attention, merge_heads, split_heads
 from ..ops.norm import layer_norm
 from ..utils.random import dropout
 from .base import Module
@@ -233,3 +233,108 @@ class TransformerDecoder(Module):
         (buf, _), _ = jax.lax.scan(step, (buf, jnp.asarray(t0)),
                                    jax.random.split(rng, steps))
         return buf
+
+    # -- KV-cached sampling (O(T^2) total vs the reference's O(T^3)) -------
+
+    def _attn_cached(self, blk, x_tok, k_cache, v_cache, pos):
+        """One-token attention against a (B, H, T, D) cache; writes the
+        new k/v at `pos` and attends to positions <= pos."""
+        p = blk["attn"]
+        qkv = jnp.dot(x_tok, p["c_attn_w"],
+                      preferred_element_type=jnp.float32) + p["c_attn_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)         # (B, 1, C)
+        q, k, v = (split_heads(t, self.n_head) for t in (q, k, v))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+        d = q.shape[-1]
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                         preferred_element_type=jnp.float32) / jnp.sqrt(
+            jnp.asarray(d, jnp.float32))
+        t_cache = k_cache.shape[2]
+        valid = jnp.arange(t_cache)[None, None, None, :] <= pos
+        att = jnp.where(valid, att, -jnp.inf)
+        att = jax.nn.softmax(att, axis=-1)
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache,
+                       preferred_element_type=jnp.float32)
+        y = merge_heads(y)
+        y = jnp.dot(y, p["c_proj_w"],
+                    preferred_element_type=jnp.float32) + p["c_proj_b"]
+        return y, k_cache, v_cache
+
+    def _token_step(self, params, tok, pos, caches):
+        """Embed one token at absolute position `pos` and run all
+        blocks against the KV caches. Returns (logits_row, new_caches)."""
+        x = jnp.take(params["tok_emb"], tok, axis=0)[:, None, :] \
+            + jnp.take(self.pe, pos, axis=0)[None, None, :]
+        new_caches = []
+        for blk, (k_c, v_c) in zip(params["blocks"], caches):
+            h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+            a, k_c, v_c = self._attn_cached(blk, h, k_c, v_c, pos)
+            x = x + a
+            h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+            m = blk["mlp"]
+            h = new_gelu(jnp.dot(h, m["c_fc_w"],
+                                 preferred_element_type=jnp.float32)
+                         + m["c_fc_b"])
+            x = x + jnp.dot(h, m["c_proj_w"],
+                            preferred_element_type=jnp.float32) + m["c_proj_b"]
+            new_caches.append((k_c, v_c))
+        x = layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
+        logits = jnp.dot(x[:, 0], params["lm_head_w"],
+                         preferred_element_type=jnp.float32)
+        return logits, new_caches
+
+    def generate_kv(self, params, x_ids, *, do_sample: bool = False,
+                    top_k: int | None = None, rng=None,
+                    num_steps: int | None = None):
+        """KV-cached autoregressive sampling; same output contract as
+        `generate` for contexts that never exceed seq_len."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        steps = self.seq_len if num_steps is None else num_steps
+        b, t0 = x_ids.shape
+        assert t0 + steps <= self.seq_len + 1, \
+            "KV path does not implement context cropping; use generate()"
+        cache_len = self.seq_len
+        hd = self.d_model // self.n_head
+        caches = [(jnp.zeros((b, self.n_head, cache_len, hd)),
+                   jnp.zeros((b, self.n_head, cache_len, hd)))
+                  for _ in params["blocks"]]
+
+        # prefill the prompt one token at a time (t0 is typically 1)
+        logits = None
+        for i in range(t0):
+            logits, caches = self._token_step(params, x_ids[:, i], i, caches)
+
+        flat = []
+        for k_c, v_c in caches:
+            flat.extend([k_c, v_c])
+
+        def step(carry, key):
+            buf, cur, logits, *flat_caches = carry
+            caches = [(flat_caches[2 * i], flat_caches[2 * i + 1])
+                      for i in range(self.n_blocks)]
+            last = logits
+            if top_k is not None:
+                kth = jnp.sort(last, axis=-1)[:, -top_k][:, None]
+                last = jnp.where(last < kth, -jnp.inf, last)
+            if do_sample:
+                nxt = jax.random.categorical(key, last, axis=-1)
+            else:
+                nxt = jnp.argmax(last, axis=-1)
+            buf = jax.lax.dynamic_update_slice(
+                buf, nxt[:, None].astype(buf.dtype), (0, cur))
+            # compute logits for the appended token unless we're done
+            new_logits, caches = self._token_step(
+                params, nxt.astype(jnp.int32),
+                jnp.minimum(cur, cache_len - 1), caches)
+            flat2 = []
+            for k_c, v_c in caches:
+                flat2.extend([k_c, v_c])
+            return (buf, cur + 1, new_logits, *flat2), None
+
+        buf = jnp.concatenate([x_ids,
+                               jnp.zeros((b, steps), x_ids.dtype)], axis=1)
+        carry = (buf, jnp.asarray(t0), logits, *flat)
+        carry, _ = jax.lax.scan(step, carry, jax.random.split(rng, steps))
+        return carry[0]

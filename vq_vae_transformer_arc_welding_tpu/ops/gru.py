@@ -33,7 +33,12 @@ def gru_layer(x: jnp.ndarray, h0: jnp.ndarray, w_ih: jnp.ndarray,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_t, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi, 0, 1))
+    # welding sequences are short (T = n_cycles <= ~20); fully unrolling
+    # avoids the scan->while lowering that ballooned TPU compile times
+    # when nested under the epoch scan + grad
+    t = gi.shape[1]
+    unroll = t if t <= 32 else 1
+    h_t, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi, 0, 1), unroll=unroll)
     del hidden
     return jnp.swapaxes(ys, 0, 1), h_t
 

@@ -60,7 +60,8 @@ class Trainer:
                  accumulate_grad_batches: int = 1, log_every_n_batches: int = 50,
                  check_val_every_n_epoch: int = 1, seed: int = 0,
                  metric_prefix: str = "", epoch_metric_hook=None,
-                 verbose: bool = True, mesh=None, param_rules=None):
+                 verbose: bool = True, mesh=None, param_rules=None,
+                 profile_dir: str | None = None):
         self.max_epochs = max_epochs
         self.logger = logger
         self.monitor = monitor
@@ -79,6 +80,9 @@ class Trainer:
         self.verbose = verbose
         self.mesh = mesh              # jax.sharding.Mesh for SPMD DP(+TP)
         self.param_rules = param_rules  # leaf-name -> PartitionSpec, or None
+        # jax.profiler trace of the first post-compile epoch (the
+        # reference has no profiling hooks at all — SURVEY.md §5)
+        self.profile_dir = profile_dir
         self._step_counter = 0
         self._eval_cache: dict = {}
 
@@ -118,19 +122,28 @@ class Trainer:
             params, state, opt_state, rng = carry
             rng, sub = jax.random.split(rng)
 
-            def micro(c, idx):
-                g_acc, state, key = c
-                key, k2 = jax.random.split(key)
-                batch = _gather_batch(arrays, idx)
-                (loss, (metrics, new_state)), grads = grad_fn(
-                    params, state, batch, k2)
-                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-                return (g_acc, new_state, key), (loss, metrics)
+            if accum == 1:
+                # no accumulation: skip the inner scan entirely (keeps
+                # the compiled graph one level shallower)
+                batch = _gather_batch(arrays, group_idx[0])
+                (loss, (metrics, state)), grads = grad_fn(
+                    params, state, batch, sub)
+                losses = loss[None]
+                metrics = jax.tree_util.tree_map(lambda m: m[None], metrics)
+            else:
+                def micro(c, idx):
+                    g_acc, state, key = c
+                    key, k2 = jax.random.split(key)
+                    batch = _gather_batch(arrays, idx)
+                    (loss, (metrics, new_state)), grads = grad_fn(
+                        params, state, batch, k2)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                    return (g_acc, new_state, key), (loss, metrics)
 
-            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (g_sum, state, _), (losses, metrics) = jax.lax.scan(
-                micro, (zero, state, sub), group_idx)
-            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (g_sum, state, _), (losses, metrics) = jax.lax.scan(
+                    micro, (zero, state, sub), group_idx)
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, state, opt_state, rng), (losses, metrics)
@@ -278,9 +291,14 @@ class Trainer:
             if idx3_sharding is not None:
                 idx_groups = jax.device_put(idx_groups, idx3_sharding)
             t0 = time.perf_counter()
+            profiling = self.profile_dir is not None and epoch == 1
+            if profiling:  # epoch 0 is the compile epoch
+                jax.profiler.start_trace(self.profile_dir)
             params, state, opt_state, losses, tr_metrics = epoch_fn(
                 params, state, opt_state, idx_groups, k_epoch)
             losses = np.asarray(losses)
+            if profiling:
+                jax.profiler.stop_trace()
             dt = time.perf_counter() - t0
 
             # train logging at log_every cadence (reference logs train
