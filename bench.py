@@ -24,6 +24,15 @@ import time
 import numpy as np
 
 import jax
+
+# persistent compile cache: repeated driver runs skip the (slow, remote)
+# TPU compile when the graph is unchanged
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 BATCH = 64

@@ -106,6 +106,20 @@ def test_transformer_generate_greedy_matches_twin(rng):
     np.testing.assert_array_equal(np.asarray(ours), x.numpy())
 
 
+def test_stacked_blocks_forward_equivalence(rng):
+    """scan-over-layers (stack_blocks) == python-loop backbone."""
+    import jax.numpy as jnp
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=3,
+                           n_head=4)
+    params, _ = m.init(0)
+    ids = jnp.asarray(rng.integers(0, 18, (4, 11)), jnp.int32)
+    for gen in (True, False):
+        a, _ = m.apply(params, None, ids, generate=gen)
+        b, _ = m.apply(m.stack_blocks(params), None, ids, generate=gen)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_generate_kv_matches_generate(rng):
     """KV-cached sampling must reproduce the full-recompute path
     exactly (greedy and sampled with identical key streams)."""

@@ -130,26 +130,56 @@ class TransformerDecoder(Module):
 
     # -- forward ----------------------------------------------------------
 
+    @staticmethod
+    def stack_blocks(params):
+        """Stack the per-block param list into one leading-axis pytree.
+
+        The backbone then runs blocks under `lax.scan`, so XLA compiles
+        ONE block body instead of n_blocks copies — a large compile-time
+        win on TPU. Forward math is identical (tests); use for
+        serving/bench or long-block models; the list layout stays the
+        default for torch-checkpoint interop.
+        """
+        out = dict(params)
+        out["blocks"] = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *params["blocks"])
+        return out
+
+    def _block_body(self, x, blk, *, train, rng, layer_idx):
+        sub = (jax.random.fold_in(rng, layer_idx)
+               if rng is not None else None)
+        r_att, r_mlp = (jax.random.split(sub) if sub is not None
+                        else (None, None))
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        x = x + causal_self_attention(
+            h, blk["attn"], n_head=self.n_head,
+            attn_dropout_p=self.att_dropout,
+            resid_dropout_p=self.res_dropout, train=train, rng=r_att,
+            impl=self.attention_impl)
+        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        m = blk["mlp"]
+        h = new_gelu(jnp.dot(h, m["c_fc_w"],
+                             preferred_element_type=jnp.float32) + m["c_fc_b"])
+        h = jnp.dot(h, m["c_proj_w"],
+                    preferred_element_type=jnp.float32) + m["c_proj_b"]
+        return x + dropout(r_mlp, h, self.res_dropout, train)
+
     def backbone(self, params, x_ids, *, train=False, rng=None):
         t = x_ids.shape[1]
         x = jnp.take(params["tok_emb"], x_ids, axis=0) + self.pe[None, :t]
-        for i, blk in enumerate(params["blocks"]):
-            sub = jax.random.fold_in(rng, i) if rng is not None else None
-            r_att, r_mlp = (jax.random.split(sub) if sub is not None
-                            else (None, None))
-            h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
-            x = x + causal_self_attention(
-                h, blk["attn"], n_head=self.n_head,
-                attn_dropout_p=self.att_dropout,
-                resid_dropout_p=self.res_dropout, train=train, rng=r_att,
-                impl=self.attention_impl)
-            h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
-            m = blk["mlp"]
-            h = new_gelu(jnp.dot(h, m["c_fc_w"],
-                                 preferred_element_type=jnp.float32) + m["c_fc_b"])
-            h = jnp.dot(h, m["c_proj_w"],
-                        preferred_element_type=jnp.float32) + m["c_proj_b"]
-            x = x + dropout(r_mlp, h, self.res_dropout, train)
+        blocks = params["blocks"]
+        if isinstance(blocks, list):
+            for i, blk in enumerate(blocks):
+                x = self._block_body(x, blk, train=train, rng=rng,
+                                     layer_idx=i)
+        else:  # stacked layout (see stack_blocks): scan over layers
+            def body(x, scanned):
+                blk, idx = scanned
+                return self._block_body(x, blk, train=train, rng=rng,
+                                        layer_idx=idx), None
+
+            x, _ = jax.lax.scan(body, x,
+                                (blocks, jnp.arange(self.n_blocks)))
         return layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
 
     def apply(self, params, state, x_ids, *, train=False, rng=None,

@@ -1,0 +1,109 @@
+"""Production inference pipeline: checkpoints -> batched on-device serving.
+
+The reference has no serving path (training scripts only); this module
+packages the deployment story for the rebuilt stack: load a VQ-VAE
+checkpoint (ours or a reference Lightning .ckpt) plus optionally a
+transformer/classifier checkpoint, and serve welding-quality decisions
+for streams of cycle windows with fixed-shape jitted calls (pad +
+mask), device-resident weights, and optional Pallas kernels.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .data.asimow import CYCLE_LEN
+from .models.transformer import TransformerDecoder
+from .models.vqvae_patch import VQVAEPatch
+
+
+class WeldingQualityPipeline:
+    """Fused encode + VQ + transformer-classify serving pipeline.
+
+    vqvae / transformer are (model, params, state) / (model, params)
+    triples-or-pairs; use `from_checkpoints` for file-based loading.
+    """
+
+    def __init__(self, vqvae, transformer, n_cycles: int,
+                 max_batch: int = 64):
+        self.vq_model, self.vq_params, self.vq_state = vqvae
+        self.tr_model, self.tr_params = transformer
+        self.n_cycles = n_cycles
+        self.max_batch = max_batch
+        self.start_token = self.vq_model.num_embeddings
+        self._classify = jax.jit(self._classify_fn)
+        self._encode = jax.jit(self._encode_fn)
+        self._ood = jax.jit(
+            lambda x: self.vq_model.forward_ood(self.vq_params,
+                                                self.vq_state, x))
+
+    @classmethod
+    def from_checkpoints(cls, vqvae_ckpt: str, transformer_ckpt: str,
+                         n_cycles: int = 20, max_batch: int = 64):
+        from .cli.shared import load_vqvae_any
+        vq = load_vqvae_any(vqvae_ckpt)
+        tr_model, tr_params, _ = TransformerDecoder.load(transformer_ckpt)
+        return cls(vq, (tr_model, tr_params), n_cycles, max_batch)
+
+    # -- jitted cores ------------------------------------------------------
+
+    def _encode_fn(self, x):
+        b = x.shape[0]
+        cycles = x.reshape(b * self.n_cycles, CYCLE_LEN, 2)
+        ids = self.vq_model.encode_indices(self.vq_params, self.vq_state,
+                                           cycles)
+        return ids.reshape(b, self.n_cycles * self.vq_model.enc_out_len)
+
+    def _classify_fn(self, x):
+        ids = self._encode_fn(x)
+        b = ids.shape[0]
+        ids = jnp.concatenate(
+            [jnp.full((b, 1), self.start_token, ids.dtype), ids], axis=1)
+        logits, _ = self.tr_model.apply(self.tr_params, None, ids,
+                                        generate=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    # -- public batched API ------------------------------------------------
+
+    def _batched(self, fn, x: np.ndarray) -> np.ndarray:
+        """Run fn over fixed max_batch chunks (pad the tail) so at most
+        two graphs compile regardless of request size."""
+        n = len(x)
+        outs = []
+        for s in range(0, n, self.max_batch):
+            block = x[s:s + self.max_batch]
+            pad = self.max_batch - len(block)
+            if pad and n > self.max_batch:
+                block = np.concatenate(
+                    [block, np.zeros((pad,) + block.shape[1:], block.dtype)])
+                outs.append(np.asarray(fn(jnp.asarray(block)))[:-pad])
+            else:
+                outs.append(np.asarray(fn(jnp.asarray(block))))
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+    def classify(self, windows: np.ndarray):
+        """windows: (N, n_cycles*200, 2) scaled cycles. Returns
+        (labels (N,), probs (N, 2))."""
+        probs = self._batched(self._classify, np.asarray(windows, np.float32))
+        return probs.argmax(-1), probs
+
+    def encode_tokens(self, windows: np.ndarray) -> np.ndarray:
+        """(N, n_cycles*200, 2) -> (N, n_cycles*16) codebook ids."""
+        return self._batched(self._encode, np.asarray(windows, np.float32))
+
+    def ood_score(self, cycles: np.ndarray) -> np.ndarray:
+        """(N, 200, 2) single cycles -> per-sample quantization-error
+        OOD score (reference forward_ood capability)."""
+        return self._batched(self._ood, np.asarray(cycles, np.float32))
+
+    def sample_tokens(self, n: int, *, top_k: int | None = None,
+                      seed: int = 0) -> np.ndarray:
+        """Autoregressively sample n latent token sequences from the
+        generation head (KV-cached)."""
+        start = jnp.full((n, 1), self.start_token, jnp.int32)
+        out = self.tr_model.generate_kv(
+            self.tr_params, start, do_sample=True, top_k=top_k,
+            rng=jax.random.PRNGKey(seed))
+        return np.asarray(out[:, 1:])
