@@ -54,6 +54,8 @@ def build_parser():
 
 
 def main(hparams):
+    from ..utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     model_name = hparams.model_name
     classification_model = model_name.split("-")[0]
     dataset = hparams.dataset

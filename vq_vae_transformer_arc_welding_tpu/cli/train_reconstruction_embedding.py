@@ -122,6 +122,8 @@ def classify_latent_space(latent_model_triplet, logger, val_ids, test_ids,
 
 
 def main(hparams):
+    from ..utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     model_name = hparams.model_name
     batch_norm = bool(hparams.batchnorm)
 

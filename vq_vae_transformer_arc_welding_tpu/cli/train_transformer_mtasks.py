@@ -119,17 +119,23 @@ class _TransformerRun:
 
 
 def classification_finetuning(run, classification_epoch, logger, class_dm,
-                              no_early_stopping=False, seed=0):
-    trainer = _make_trainer(
-        classification_epoch, logger, monitor="val/cl/f1_score", mode="max",
-        patience=None if no_early_stopping else 5, seed=seed)
-    task = TransformerClassTask(run.model)
+                              no_early_stopping=False, seed=0, trainer=None,
+                              task=None):
+    if trainer is None:
+        trainer = _make_trainer(classification_epoch, logger, seed=seed)
+    trainer.max_epochs = classification_epoch
+    trainer.monitor = "val/cl/f1_score"
+    trainer.mode = "max"
+    trainer.patience = None if no_early_stopping else 5
+    trainer.seed = seed
+    task = task or TransformerClassTask(run.model)
     run.fit_stage(trainer, task, class_dm)
-    test_trainer = Trainer(max_epochs=1, logger=logger)
-    return test_trainer.test(task, class_dm, run.params, run.state)
+    return trainer.test(task, class_dm, run.params, run.state)
 
 
 def main(hparams):
+    from ..utils.compilecache import enable_persistent_cache
+    enable_persistent_cache()
     logger = select_logger(
         use_wandb=bool(hparams.use_wandb or hparams.use_wandb_for_logging),
         use_mlflow=bool(hparams.use_mlflow),
@@ -169,29 +175,36 @@ def main(hparams):
             no_early_stopping=bool(hparams.no_early_stopping),
             seed=hparams.seed)
     else:
+        # tasks and trainers are created once and reused across the
+        # alternating schedule so compiled epochs are shared (each
+        # reference iteration builds fresh Trainers, but recompiling
+        # identical graphs per stage would be pure TPU-compile waste)
+        gen_task = TransformerGenTask(run.model)
+        class_task = TransformerClassTask(run.model)
+        gen_trainer = _make_trainer(hparams.gen_epochs, logger,
+                                    seed=hparams.seed)
+        class_trainer = _make_trainer(hparams.class_epoch, logger,
+                                      seed=hparams.seed + 1)
         for epoch in range(hparams.epoch_iter):
             log.info("Genrerating stage")
-            trainer = _make_trainer(hparams.gen_epochs, logger,
-                                    seed=hparams.seed + epoch)
-            run.fit_stage(trainer, TransformerGenTask(run.model), gen_dm)
+            gen_trainer.seed = hparams.seed + epoch
+            run.fit_stage(gen_trainer, gen_task, gen_dm)
 
             if epoch == hparams.epoch_iter - 1:
                 results["class_test"] = classification_finetuning(
                     run, hparams.finetune_epochs, logger, class_dm,
                     no_early_stopping=bool(hparams.no_early_stopping),
-                    seed=hparams.seed + epoch)
+                    seed=hparams.seed + epoch, trainer=class_trainer,
+                    task=class_task)
             else:
                 log.info("Classification stage")
-                trainer = _make_trainer(hparams.class_epoch, logger,
-                                        seed=hparams.seed + epoch)
-                run.fit_stage(trainer, TransformerClassTask(run.model),
-                              class_dm)
+                class_trainer.seed = hparams.seed + epoch
+                run.fit_stage(class_trainer, class_task, class_dm)
 
-        test_trainer = Trainer(max_epochs=1, logger=logger)
-        results["class_test_final"] = test_trainer.test(
-            TransformerClassTask(run.model), class_dm, run.params, run.state)
-        results["gen_test"] = test_trainer.test(
-            TransformerGenTask(run.model), gen_dm, run.params, run.state)
+        results["class_test_final"] = class_trainer.test(
+            class_task, class_dm, run.params, run.state)
+        results["gen_test"] = gen_trainer.test(
+            gen_task, gen_dm, run.params, run.state)
 
     logger.finalize()
     print("Done")

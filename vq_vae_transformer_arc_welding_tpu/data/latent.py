@@ -85,6 +85,7 @@ class LatentPredDataModule:
         self.train = self.val = self.test = None
         self.train_sampling = None
         self.num_classes = None  # set for autoregressive tasks
+        self._jitted_encode = None  # shared across splits (one compile)
 
     def _encode_split(self, x: np.ndarray) -> np.ndarray:
         """(N, n_cycles*window, C) -> per-task latent arrays (numpy)."""
@@ -92,11 +93,18 @@ class LatentPredDataModule:
         model, params, state = self.model, self.params, self.state
         per_cycle = x.reshape(n * self.n_cycles, self.window_size, c)
 
+        if self._jitted_encode is None:
+            if self.task == "classification":
+                self._jitted_encode = jax.jit(
+                    lambda b: model.encode_zq(params, state, b))
+            else:
+                self._jitted_encode = jax.jit(
+                    lambda b: model.encode_indices(params, state, b))
+        fn = self._jitted_encode
+
         if self.task == "classification":
-            fn = jax.jit(lambda b: model.encode_zq(params, state, b))
             z = _chunked_device_map(fn, per_cycle)      # (N*n, 16, D)
             return z.reshape(n, self.n_cycles, -1).astype(np.float32)
-        fn = jax.jit(lambda b: model.encode_indices(params, state, b))
         ids = _chunked_device_map(fn, per_cycle)        # (N*n, 16)
         ids = ids.reshape(n, self.n_cycles, -1).astype(np.int64)
         if self.task == "classification_ids":

@@ -85,6 +85,7 @@ class Trainer:
         self.profile_dir = profile_dir
         self._step_counter = 0
         self._eval_cache: dict = {}
+        self._train_cache: dict = {}
 
     def _place(self, params, state, arrays):
         """Computation-follows-data SPMD placement: params per rules
@@ -273,7 +274,14 @@ class Trainer:
             idx3_sharding = None  # uneven batch: run replicated
         if opt_state is None:
             opt_state = tx.init(params)
-        epoch_fn = self._make_train_epoch(task, tx, arrays, batch_size)
+        # cache the compiled epoch per (task, datamodule): repeated
+        # fit() calls on the same stage (the transformer's alternating
+        # schedule) must not recompile — TPU compiles are expensive
+        tc_key = (id(task), id(datamodule), batch_size)
+        if tc_key not in self._train_cache:
+            self._train_cache[tc_key] = self._make_train_epoch(
+                task, tx, arrays, batch_size)
+        epoch_fn = self._train_cache[tc_key]
 
         best_score, best_epoch = None, -1
         best_params, best_state = params, state
@@ -314,7 +322,8 @@ class Trainer:
                    for k, v in tr_np.items()}
             row["epoch"] = epoch
             row["train_epoch/time_s"] = dt
-            row["train_epoch/batches_per_s"] = len(losses) * self.accum / dt
+            # losses already has one entry per micro-batch
+            row["train_epoch/batches_per_s"] = len(losses) / dt
 
             if (epoch + 1) % self.check_val_every == 0:
                 val_metrics = self.evaluate(task, params, state,
@@ -381,6 +390,6 @@ class Trainer:
         metrics = self.evaluate(task, params, state, split,
                                 datamodule.batch_size, drop_last, split_name)
         self._log(metrics, step=self._step_counter)
-        if "f1_score" in "".join(metrics) and self.verbose:
-            print(" ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+        if self.verbose:
+            print(" ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items())))
         return metrics
