@@ -68,6 +68,23 @@ def test_full_pipeline_via_clis(workdir):
     assert "test/cl/f1_score" in results["class_test_final"]
 
 
+def test_improved_vq_cli_path(workdir):
+    from vq_vae_transformer_arc_welding_tpu.cli import (
+        train_reconstruction_embedding as rec_cli)
+    args = rec_cli.build_parser().parse_args([
+        "--epochs", "2", "--batch-size", "64", "--num-embeddings", "16",
+        "--embedding-dim", "8", "--hidden-dim", "32", "--n-resblocks", "1",
+        "--use-improved-vq", "--kmeans-iters", "3", "--data-dir", "data"])
+    result, test_metrics = rec_cli.main(args)
+    assert np.isfinite(test_metrics["test/loss"])
+    # EMA codebook persisted in the checkpoint state
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    m, p, s = VQVAEPatch.load(
+        "model_checkpoints/VQ-VAE-Patch/VQ-VAE-Patch-best.ckpt")
+    assert m.use_improved_vq and int(s["vq"].initialized) == 1
+    assert np.abs(np.asarray(s["vq"].codebook)).sum() > 0
+
+
 def test_classification_only_mode(workdir):
     from vq_vae_transformer_arc_welding_tpu.cli import (
         train_transformer_mtasks as tm_cli)

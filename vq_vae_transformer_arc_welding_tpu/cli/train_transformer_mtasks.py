@@ -88,10 +88,24 @@ def load_dataset(hparams, only_classify=False):
 
 
 def _make_trainer(epochs, logger, *, monitor=None, mode="max", patience=None,
-                  min_delta=0.001, seed=0):
+                  min_delta=0.001, seed=0, mesh=None):
     return Trainer(max_epochs=epochs, logger=logger, monitor=monitor,
                    mode=mode, patience=patience, min_delta=min_delta,
-                   accumulate_grad_batches=5, seed=seed)
+                   accumulate_grad_batches=5, seed=seed, mesh=mesh)
+
+
+def _maybe_mesh(use_all_devices: bool):
+    """--use-all-gpus == the reference's DDP switch
+    (train_transformer_mtasks.py:149-152): data-parallel over every
+    available accelerator via a mesh; None on a single device."""
+    if not use_all_devices:
+        return None
+    import jax
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    from ..parallel.mesh import make_mesh
+    return make_mesh(n_data=len(devices))
 
 
 class _TransformerRun:
@@ -179,12 +193,15 @@ def main(hparams):
         # alternating schedule so compiled epochs are shared (each
         # reference iteration builds fresh Trainers, but recompiling
         # identical graphs per stage would be pure TPU-compile waste)
+        mesh = _maybe_mesh(bool(hparams.use_all_gpus))
+        if mesh is not None:
+            log.info(f"data-parallel mesh over {mesh.shape} devices")
         gen_task = TransformerGenTask(run.model)
         class_task = TransformerClassTask(run.model)
         gen_trainer = _make_trainer(hparams.gen_epochs, logger,
-                                    seed=hparams.seed)
+                                    seed=hparams.seed, mesh=mesh)
         class_trainer = _make_trainer(hparams.class_epoch, logger,
-                                      seed=hparams.seed + 1)
+                                      seed=hparams.seed + 1, mesh=mesh)
         for epoch in range(hparams.epoch_iter):
             log.info("Genrerating stage")
             gen_trainer.seed = hparams.seed + epoch
