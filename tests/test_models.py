@@ -183,6 +183,38 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_lightning_ckpt_export_roundtrip(tmp_path, rng):
+    """Our params -> Lightning .ckpt -> torch twin == our forward, and
+    re-import through our own loader."""
+    from vq_vae_transformer_arc_welding_tpu.train.torch_import import (
+        export_vqvae_to_lightning, load_vqvae_checkpoint)
+
+    model = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                       embedding_dim=4, n_resblocks=1, learning_rate=1e-3,
+                       batch_norm=False)
+    params, state = model.init(7)
+    path = str(tmp_path / "exported.ckpt")
+    export_vqvae_to_lightning(model, params, state, path)
+
+    # torch twin consumes the exported state_dict
+    twin = TwinVQVAEPatch(16, 2, 8, 4, 1)
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    twin.load_state_dict(sd)
+    twin.eval()
+    x = rng.standard_normal((3, 200, 2)).astype(np.float32)
+    with torch.no_grad():
+        _, ref_xhat, _ = twin(torch.tensor(x))
+    out, _ = model.apply(params, state, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out.x_hat), ref_xhat.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    # and back through our importer
+    m2, p2, s2 = load_vqvae_checkpoint(path)
+    out2, _ = m2.apply(p2, s2, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(out2.x_hat),
+                               np.asarray(out.x_hat), rtol=1e-5, atol=1e-6)
+
+
 def test_lightning_ckpt_import(tmp_path):
     """A reference-layout Lightning .ckpt loads into our VQVAEPatch."""
     twin = TwinVQVAEPatch(16, 2, 8, 4, 1)

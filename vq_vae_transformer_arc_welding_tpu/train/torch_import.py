@@ -189,6 +189,77 @@ def mlp_params_from_state_dict(sd, *, n_hidden_layers: int):
     return params, {"bn": bn}
 
 
+def export_vqvae_to_lightning(model, params, state, path: str):
+    """Write our VQVAEPatch params/state as a reference-layout Lightning
+    .ckpt (inverse of vqvae_params_from_state_dict), so models trained
+    in this framework can be consumed by the reference PyTorch pipeline
+    (BASELINE.json asks for identical checkpoint formats both ways)."""
+    import numpy as np
+    import torch
+
+    def t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    sd = {}
+    pe = params["patch_embed"]
+    sd["patch_embed.proj.weight"] = t(pe["kernel"]).T.unsqueeze(1)  # (H,1,patch)
+    sd["patch_embed.proj.bias"] = t(pe["bias"])
+
+    def put_resblock(prefix, p, st):
+        sd[f"{prefix}.block.1.weight"] = t(p["conv1_w"])
+        sd[f"{prefix}.block.1.bias"] = t(p["conv1_b"])
+        sd[f"{prefix}.block.4.weight"] = t(p["conv2_w"])
+        sd[f"{prefix}.block.4.bias"] = t(p["conv2_b"])
+        if model.batch_norm and st is not None:
+            sd[f"{prefix}.block.2.weight"] = t(p["bn1_scale"])
+            sd[f"{prefix}.block.2.bias"] = t(p["bn1_bias"])
+            sd[f"{prefix}.block.2.running_mean"] = t(st["bn1"].mean)
+            sd[f"{prefix}.block.2.running_var"] = t(st["bn1"].var)
+            sd[f"{prefix}.block.2.num_batches_tracked"] = torch.tensor(0)
+            sd[f"{prefix}.block.5.weight"] = t(p["bn2_scale"])
+            sd[f"{prefix}.block.5.bias"] = t(p["bn2_bias"])
+            sd[f"{prefix}.block.5.running_mean"] = t(st["bn2"].mean)
+            sd[f"{prefix}.block.5.running_var"] = t(st["bn2"].var)
+            sd[f"{prefix}.block.5.num_batches_tracked"] = torch.tensor(0)
+
+    for i in range(model.n_resblocks):
+        enc_bn = (state.get("encoder_bn", [None] * model.n_resblocks)[i]
+                  if model.batch_norm else None)
+        dec_bn = (state.get("decoder_bn", [None] * model.n_resblocks)[i]
+                  if model.batch_norm else None)
+        put_resblock(f"encoder.0.shared_conv.{i}", params["encoder"][i], enc_bn)
+        put_resblock(f"decoder.1.shared_conv.{i}", params["decoder"][i], dec_bn)
+
+    sd["encoder.1.shared_conv.weight"] = t(params["sep_conv"]["w"])
+    sd["encoder.1.shared_conv.bias"] = t(params["sep_conv"]["b"])
+    if model.use_improved_vq:
+        cb = t(state["vq"].codebook)
+        sd["vector_quantization.vq.layers.0._codebook.embed"] = cb.unsqueeze(0)
+        sd["vector_quantization.vq.layers.0._codebook.cluster_size"] = \
+            t(state["vq"].cluster_size).unsqueeze(0)
+        sd["vector_quantization.vq.layers.0._codebook.embed_avg"] = \
+            t(state["vq"].embed_avg).unsqueeze(0)
+    else:
+        sd["vector_quantization.embedding.weight"] = t(params["vq"]["codebook"])
+    sd["decoder.0.weight"] = t(params["decoder_in"]["w"])
+    sd["decoder.0.bias"] = t(params["decoder_in"]["b"])
+    inv = params["inverse"]
+    sd["reverse_patch_embed.proj.0.weight"] = t(inv["ct1_kernel"])
+    sd["reverse_patch_embed.proj.0.bias"] = t(inv["ct1_bias"])
+    sd["reverse_patch_embed.proj.1.weight"] = t(inv["bn_scale"])
+    sd["reverse_patch_embed.proj.1.bias"] = t(inv["bn_bias"])
+    sd["reverse_patch_embed.proj.1.running_mean"] = t(state["inverse_bn"].mean)
+    sd["reverse_patch_embed.proj.1.running_var"] = t(state["inverse_bn"].var)
+    sd["reverse_patch_embed.proj.1.num_batches_tracked"] = torch.tensor(0)
+    sd["reverse_patch_embed.proj.3.weight"] = t(inv["ct2_kernel"])
+    sd["reverse_patch_embed.proj.3.bias"] = t(inv["ct2_bias"])
+
+    torch.save({"state_dict": sd, "hyper_parameters": dict(model.hparams),
+                "epoch": 0, "global_step": 0,
+                "pytorch-lightning_version": "2.0.0"}, path)
+    return path
+
+
 def gru_params_from_state_dict(sd, *, n_hidden_layers: int):
     layers = []
     for i in range(n_hidden_layers):
