@@ -1,0 +1,43 @@
+"""Int8 quantized transformer serving path: accuracy contract."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from vq_vae_transformer_arc_welding_tpu.models import TransformerDecoder
+from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+    quantize_transformer, quantized_classify, quantized_lm_logits)
+
+
+def test_quantized_matches_f32_labels(rng):
+    m = TransformerDecoder(d_model=64, n_classes=34, seq_len=17, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    qp = quantize_transformer(params)
+    ids = jnp.asarray(rng.integers(0, 32, (8, 17)), jnp.int32)
+
+    ref, _ = m.apply(params, None, ids, generate=False)
+    out = quantized_classify(m, qp, ids)
+    assert np.asarray(jnp.abs(ref - out)).max() < 0.05
+    np.testing.assert_array_equal(np.asarray(ref.argmax(-1)),
+                                  np.asarray(out.argmax(-1)))
+
+    ref_lm, _ = m.apply(params, None, ids, generate=True)
+    out_lm = quantized_lm_logits(m, qp, ids)
+    # next-token argmax agreement on the vast majority of positions
+    agree = np.mean(np.asarray(ref_lm.argmax(-1) == out_lm.argmax(-1)))
+    assert agree > 0.9
+
+
+def test_quantization_is_symmetric_int8(rng):
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        quantize_linear, qdot)
+    w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+    q = quantize_linear(w)
+    assert q.w_int8.dtype == jnp.int8
+    assert np.abs(np.asarray(q.w_int8)).max() <= 127
+    # dequantized weight close to original
+    wd = np.asarray(q.w_int8, np.float32) * np.asarray(q.scale)
+    np.testing.assert_allclose(wd, np.asarray(w), atol=np.asarray(q.scale).max())
+    x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(qdot(x, q)), np.asarray(x @ w),
+                               rtol=0.1, atol=0.05)

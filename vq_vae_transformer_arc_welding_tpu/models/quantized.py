@@ -1,0 +1,111 @@
+"""Int8 weight quantization for transformer serving.
+
+v5e MXUs run int8 matmuls at ~2x the bf16 rate; for the serving path
+(logits only, no gradients) we quantize every transformer Linear to
+per-output-channel symmetric int8 and quantize activations dynamically
+per tensor at each matmul: x -> int8 via 127/absmax, int8 x int8 ->
+int32 accumulate on the MXU, dequantize by the two scales. LayerNorm,
+softmax, residuals and the attention score math stay f32. The VQ-VAE
+encoder keeps f32 (it is 1% of pipeline time — profiled in round 1).
+
+Use: qparams = quantize_transformer(params);
+     logits = quantized_classify(model, qparams, ids).
+Accuracy contract checked in tests: logits within ~1e-1 of f32 and
+identical argmax labels on random inputs.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QLinear(NamedTuple):
+    w_int8: jnp.ndarray   # (in, out) int8
+    scale: jnp.ndarray    # (out,) f32 per-output-channel dequant scale
+    bias: jnp.ndarray | None
+
+
+def quantize_linear(w: jnp.ndarray, bias=None) -> QLinear:
+    absmax = jnp.max(jnp.abs(w), axis=0)           # per output column
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QLinear(w_q, scale.astype(jnp.float32), bias)
+
+
+def qdot(x: jnp.ndarray, q: QLinear) -> jnp.ndarray:
+    """f32 activations -> dynamic int8 -> MXU int8 matmul -> f32."""
+    ax = jnp.max(jnp.abs(x))
+    s_x = jnp.where(ax > 0, 127.0 / ax, 1.0)
+    x_q = jnp.clip(jnp.round(x * s_x), -127, 127).astype(jnp.int8)
+    o = jax.lax.dot_general(
+        x_q, q.w_int8, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = o.astype(jnp.float32) * (q.scale / s_x)
+    if q.bias is not None:
+        y = y + q.bias
+    return y
+
+
+def quantize_transformer(params) -> dict:
+    """Quantize all Linear weights of a TransformerDecoder param tree
+    (list-of-blocks layout)."""
+    qp = {
+        "tok_emb": params["tok_emb"],
+        "ln_f_scale": params["ln_f_scale"], "ln_f_bias": params["ln_f_bias"],
+        "lm_head": quantize_linear(params["lm_head_w"]),
+        "class_head": {
+            "l1": quantize_linear(params["class_head"]["l1_w"],
+                                  params["class_head"].get("l1_b")),
+            "l2": quantize_linear(params["class_head"]["l2_w"],
+                                  params["class_head"].get("l2_b")),
+        },
+        "blocks": [],
+    }
+    for blk in params["blocks"]:
+        qp["blocks"].append({
+            "ln1_scale": blk["ln1_scale"], "ln1_bias": blk["ln1_bias"],
+            "ln2_scale": blk["ln2_scale"], "ln2_bias": blk["ln2_bias"],
+            "c_attn": quantize_linear(blk["attn"]["c_attn_w"],
+                                      blk["attn"]["c_attn_b"]),
+            "c_proj": quantize_linear(blk["attn"]["c_proj_w"],
+                                      blk["attn"]["c_proj_b"]),
+            "c_fc": quantize_linear(blk["mlp"]["c_fc_w"],
+                                    blk["mlp"]["c_fc_b"]),
+            "m_proj": quantize_linear(blk["mlp"]["c_proj_w"],
+                                      blk["mlp"]["c_proj_b"]),
+        })
+    return qp
+
+
+def quantized_backbone(model, qparams, x_ids):
+    from ..ops.activations import new_gelu
+    from ..ops.attention import causal_attention_core, merge_heads, split_heads
+    from ..ops.norm import layer_norm
+
+    t = x_ids.shape[1]
+    x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
+    for blk in qparams["blocks"]:
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        qkv = qdot(h, blk["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (split_heads(z, model.n_head) for z in (q, k, v))
+        y = merge_heads(causal_attention_core(q, k, v))
+        x = x + qdot(y, blk["c_proj"])
+        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        x = x + qdot(new_gelu(qdot(h, blk["c_fc"])), blk["m_proj"])
+    return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
+
+
+def quantized_classify(model, qparams, x_ids):
+    from ..ops.activations import gelu
+    x = quantized_backbone(model, qparams, x_ids)
+    h = qdot(x, qparams["class_head"]["l1"])
+    h = gelu(h.squeeze(-1))
+    return qdot(h, qparams["class_head"]["l2"])
+
+
+def quantized_lm_logits(model, qparams, x_ids):
+    x = quantized_backbone(model, qparams, x_ids)
+    return qdot(x, qparams["lm_head"])
