@@ -39,5 +39,7 @@ def test_quantization_is_symmetric_int8(rng):
     wd = np.asarray(q.w_int8, np.float32) * np.asarray(q.scale)
     np.testing.assert_allclose(wd, np.asarray(w), atol=np.asarray(q.scale).max())
     x = jnp.asarray(rng.standard_normal((4, 32)), jnp.float32)
+    # int8 quantization noise at K=32: absolute tolerance, not relative
+    # (near-zero outputs have unbounded relative error)
     np.testing.assert_allclose(np.asarray(qdot(x, q)), np.asarray(x @ w),
-                               rtol=0.1, atol=0.05)
+                               atol=0.5)
