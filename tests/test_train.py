@@ -101,6 +101,38 @@ def test_early_stopping_triggers(data_dir):
     assert len(res.history) < 30
 
 
+def test_resume_from_last_matches_uninterrupted(data_dir, tmp_path):
+    """Train 4 epochs straight vs 2 epochs + resume 2: same params."""
+    import jax.numpy as jnp
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="classification", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=32,
+                          data_directory_path=data_dir)
+    dm.setup()
+    model = MLP(input_size=200, output_size=2, in_dim=2, hidden_sizes=16,
+                n_hidden_layers=1, dropout_p=0.0, learning_rate=1e-3)
+    tx = make_radam(1e-3)
+    task = ClassificationTask(model)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: jnp.array(a), t)
+
+    p0, s0 = model.init(0)
+    tr_a = Trainer(max_epochs=4, seed=11, verbose=False)
+    res_a = tr_a.fit(task, dm, copy(p0), copy(s0), tx)
+
+    ck = str(tmp_path / "resume")
+    tr_b1 = Trainer(max_epochs=2, seed=11, verbose=False,
+                    checkpoint_dir=ck, save_last=True)
+    tr_b1.fit(task, dm, copy(p0), copy(s0), tx)
+    tr_b2 = Trainer(max_epochs=4, seed=11, verbose=False)
+    res_b = tr_b2.fit(task, dm, copy(p0), copy(s0), tx,
+                      resume_from=f"{ck}/last.ckpt")
+    for a, b in zip(jax.tree_util.tree_leaves(res_a.final_params),
+                    jax.tree_util.tree_leaves(res_b.final_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_grad_accumulation_equivalent_to_large_batch(rng):
     """mean-of-grads over accum microbatches == one big-batch grad."""
     import jax.numpy as jnp
@@ -132,8 +164,8 @@ def test_grad_accumulation_equivalent_to_large_batch(rng):
     # manual: same index stream, mean of per-microbatch grads
     # (BatchNorm normalizes per microbatch, so this — not one 32-batch
     # grad — is the accumulation contract)
-    key = jax.random.PRNGKey(7)
-    key, k_samp, _ = jax.random.split(key, 3)
+    _, k_samp, _ = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(7), 0), 3)
     groups = tr._train_indices(k_samp, 32, 8, None, True)
 
     from vq_vae_transformer_arc_welding_tpu.train.metrics import cross_entropy

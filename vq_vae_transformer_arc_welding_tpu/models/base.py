@@ -25,10 +25,11 @@ class Module:
         raise NotImplementedError
 
     # -- checkpointing ----------------------------------------------------
-    def save(self, path, params, state, extra: dict | None = None):
+    def save(self, path, params, state, extra: dict | None = None,
+             opt_state=None):
         from ..train.checkpoint import save_checkpoint
         save_checkpoint(path, type(self).__name__, self.hparams, params, state,
-                        extra or {})
+                        extra or {}, opt_state=opt_state)
 
     @classmethod
     def load(cls, path):

@@ -26,17 +26,21 @@ def _to_numpy_tree(tree):
 
 
 def save_checkpoint(path, model_name: str, hparams: dict, params, state,
-                    extra: dict | None = None):
+                    extra: dict | None = None, opt_state=None):
     payload = {
         "header": json.dumps({
             "model": model_name,
             "hparams": hparams,
             "extra": extra or {},
             "format_version": 1,
+            "has_opt_state": opt_state is not None,
         }),
         "params": serialization.to_state_dict(_to_numpy_tree(params)),
         "state": serialization.to_state_dict(_to_numpy_tree(state)),
     }
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_state_dict(
+            _to_numpy_tree(opt_state))
     blob = serialization.msgpack_serialize(payload)
     d = os.path.dirname(path)
     if d:
@@ -58,10 +62,16 @@ def load_checkpoint(path):
         payload = serialization.msgpack_restore(f.read())
     header = json.loads(payload["header"])
 
-    def restore(templates):
+    def restore(templates, opt_template=None):
         t_params, t_state = templates
         params = serialization.from_state_dict(t_params, payload["params"])
         state = serialization.from_state_dict(t_state, payload["state"])
+        if opt_template is not None:
+            if "opt_state" not in payload:
+                raise ValueError("checkpoint carries no optimizer state")
+            opt = serialization.from_state_dict(opt_template,
+                                                payload["opt_state"])
+            return params, state, opt
         return params, state
 
     return header["model"], header["hparams"], restore, header.get("extra", {})

@@ -257,9 +257,19 @@ class Trainer:
     # -- fit/test ----------------------------------------------------------
 
     def fit(self, task: Task, datamodule, params, state, tx,
-            opt_state=None) -> FitResult:
+            opt_state=None, resume_from: str | None = None) -> FitResult:
+        """resume_from: a last.ckpt written with save_last — restores
+        params, state, optimizer moments, and the epoch counter (crash
+        recovery beyond the reference's save_last-only story)."""
         if datamodule.train is None:
             datamodule.setup("fit")
+        start_epoch = 0
+        if resume_from is not None:
+            from .checkpoint import load_checkpoint
+            _, _, restore, extra = load_checkpoint(resume_from)
+            opt_template = tx.init(params)
+            params, state, opt_state = restore((params, state), opt_template)
+            start_epoch = int(extra.get("epoch", -1)) + 1
         train_split = datamodule.train
         arrays = task.batch_arrays(train_split)
         batch_size = datamodule.batch_size
@@ -290,10 +300,13 @@ class Trainer:
         history = []
         stopped = False
         sign = 1.0 if self.mode == "max" else -1.0
-        key = jax.random.PRNGKey(self.seed)
 
-        for epoch in range(self.max_epochs):
-            key, k_samp, k_epoch = jax.random.split(key, 3)
+        epoch = start_epoch - 1
+        for epoch in range(start_epoch, self.max_epochs):
+            # per-epoch keys derive from (seed, epoch) so a resumed run
+            # samples exactly what the uninterrupted run would have
+            _, k_samp, k_epoch = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch), 3)
             idx_groups = self._train_indices(
                 k_samp, len(train_split.x), batch_size, weights, drop_last)
             if idx3_sharding is not None:
@@ -373,7 +386,8 @@ class Trainer:
 
         if self.checkpoint_dir and self.save_last:
             task.model.save(os.path.join(self.checkpoint_dir, "last.ckpt"),
-                            params, state, extra={"epoch": epoch})
+                            params, state, extra={"epoch": epoch},
+                            opt_state=opt_state)
         if self.monitor is None or best_score is None:
             best_params, best_state = params, state
         return FitResult(best_params, best_state, best_score, best_epoch,
