@@ -17,7 +17,9 @@ from ..ops.norm import BatchNormState
 
 
 def _np(t):
-    return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+    # copy: torch .numpy() shares storage, and in-place torch updates
+    # must never alias the arrays we hand to the framework
+    return np.array(t.detach().cpu().numpy(), dtype=np.float32, copy=True)
 
 
 def load_lightning_state_dict(path):
