@@ -11,7 +11,59 @@ scale_by_radam in an optax chain (not decoupled AdamW-style decay).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
+
+
+class _RAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_torch_radam(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-8) -> optax.GradientTransformation:
+    """Bit-faithful torch.optim.RAdam scaling.
+
+    optax.scale_by_radam applies eps to the bias-corrected
+    sqrt(v_hat); torch applies it to raw sqrt(v) and multiplies the
+    numerator by sqrt(1-b2^t) — the trajectories diverge ~1e-6/step
+    once rectification (rho_t > 5) engages. We match torch exactly
+    (verified against torch.optim.RAdam in tests/test_optim.py).
+    """
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _RAdamState(jnp.zeros([], jnp.int32), zeros,
+                           jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
+        bc1 = 1.0 - b1 ** t
+        bc2 = 1.0 - b2 ** t
+        rho_t = rho_inf - 2.0 * t * (b2 ** t) / bc2
+        rect = jnp.sqrt(((rho_t - 4.0) * (rho_t - 2.0) * rho_inf)
+                        / ((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t))
+
+        def scaled(m, v):
+            mhat = m / bc1
+            adaptive = jnp.sqrt(bc2) / (jnp.sqrt(v) + eps)
+            return jnp.where(rho_t > 5.0, mhat * adaptive * rect, mhat)
+
+        new_updates = jax.tree_util.tree_map(scaled, mu, nu)
+        return new_updates, _RAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_radam(learning_rate: float, *, betas=(0.9, 0.999), eps: float = 1e-8,
@@ -22,8 +74,7 @@ def make_radam(learning_rate: float, *, betas=(0.9, 0.999), eps: float = 1e-8,
         parts.append(optax.clip_by_global_norm(clip_norm))
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
-    parts.append(optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps,
-                                      threshold=5.0))
+    parts.append(scale_by_torch_radam(b1=betas[0], b2=betas[1], eps=eps))
     parts.append(optax.scale(-learning_rate))
     return optax.chain(*parts)
 
