@@ -85,6 +85,20 @@ def test_improved_vq_cli_path(workdir):
     assert np.abs(np.asarray(s["vq"].codebook)).sum() > 0
 
 
+def test_use_all_gpus_data_parallel(workdir):
+    """--use-all-gpus trains data-parallel over the 8 virtual devices."""
+    from vq_vae_transformer_arc_welding_tpu.cli import (
+        train_transformer_mtasks as tm_cli)
+    ckpt = "model_checkpoints/VQ-VAE-Patch/VQ-VAE-Patch-best.ckpt"
+    args = tm_cli.build_parser().parse_args([
+        "--epoch_iter", "1", "--gen-epochs", "1", "--finetune-epochs", "1",
+        "--batch-size", "16", "--n-cycles", "2", "--d-model", "32",
+        "--n-heads", "4", "--n-blocks", "2", "--use-all-gpus",
+        "--vqvae-model", ckpt, "--data-dir", "data"])
+    run, results = tm_cli.main(args)
+    assert np.isfinite(results["gen_test"]["test/loss"])
+
+
 def test_classification_only_mode(workdir):
     from vq_vae_transformer_arc_welding_tpu.cli import (
         train_transformer_mtasks as tm_cli)

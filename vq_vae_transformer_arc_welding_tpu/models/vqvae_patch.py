@@ -31,7 +31,7 @@ from ..ops.conv import center_tap_dense, conv1d_same
 from ..ops.norm import BatchNormState, batch_norm_apply
 from ..ops.patching import (INVERSE_PATCH_PLANS, patch_embed,
                             patch_embed_inverse)
-from ..ops.vq import VQOutput, vq_lookup, vq_quantize
+from ..ops.vq import vq_lookup, vq_quantize
 from ..ops import vq_ema
 from ..utils.random import dropout
 from .base import Module
