@@ -215,6 +215,26 @@ def test_lightning_ckpt_export_roundtrip(tmp_path, rng):
                                np.asarray(out.x_hat), rtol=1e-5, atol=1e-6)
 
 
+def test_transformer_export_roundtrip(tmp_path, rng):
+    from vq_vae_transformer_arc_welding_tpu.train.torch_import import (
+        export_transformer_to_lightning)
+    model = TransformerDecoder(d_model=32, n_classes=18, seq_len=9,
+                               n_blocks=2, n_head=4)
+    params, _ = model.init(3)
+    path = str(tmp_path / "tr.ckpt")
+    export_transformer_to_lightning(model, params, path)
+    twin = TwinTransformer(32, 18, 9, 2, 4)
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    twin.load_state_dict(sd)
+    twin.eval()
+    ids = rng.integers(0, 18, (3, 9)).astype(np.int64)
+    with torch.no_grad():
+        ref = twin(torch.tensor(ids), generate=False).numpy()
+    ours, _ = model.apply(params, None, jnp.asarray(ids, jnp.int32),
+                          generate=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
 def test_lightning_ckpt_import(tmp_path):
     """A reference-layout Lightning .ckpt loads into our VQVAEPatch."""
     twin = TwinVQVAEPatch(16, 2, 8, 4, 1)

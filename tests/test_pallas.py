@@ -65,6 +65,31 @@ def test_flash_attention_grads_match_xla(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_transformer_with_pallas_attention_matches_xla(rng):
+    from vq_vae_transformer_arc_welding_tpu.models import TransformerDecoder
+    kw = dict(d_model=32, n_classes=18, seq_len=9, n_blocks=2, n_head=4)
+    m_x = TransformerDecoder(**kw)
+    m_p = TransformerDecoder(**kw, attention_impl="pallas")
+    params, _ = m_x.init(0)
+    ids = jnp.asarray(rng.integers(0, 18, (3, 9)), jnp.int32)
+    a, _ = m_x.apply(params, None, ids, generate=True)
+    b, _ = m_p.apply(params, None, ids, generate=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
+    # gradient path (custom_vjp) through the model
+    def loss(m):
+        def f(p):
+            logits, _ = m.apply(p, None, ids, generate=False)
+            return jnp.sum(logits ** 2)
+        return jax.grad(f)(params)
+    g_x = loss(m_x)
+    g_p = loss(m_p)
+    for x, p in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_p)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(p), rtol=1e-4,
+                                   atol=1e-4)
+
+
 def test_model_with_pallas_vq_matches_xla_model(rng):
     from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
     kw = dict(hidden_dim=16, input_dim=2, num_embeddings=8, embedding_dim=4,

@@ -132,7 +132,9 @@ class TwinAttention(nn.Module):
         self.c_attn = nn.Linear(d, 3 * d)
         self.c_proj = nn.Linear(d, d)
         self.n_head, self.n_embd = heads, d
-        self.register_buffer("mask", torch.tril(torch.ones(seq_len, seq_len)))
+        # buffer name 'bias' matches the reference state_dict layout
+        self.register_buffer("bias", torch.tril(torch.ones(seq_len, seq_len))
+                             .view(1, 1, seq_len, seq_len))
 
     def forward(self, x):
         b, t, c = x.size()
@@ -140,7 +142,7 @@ class TwinAttention(nn.Module):
         shape = (b, t, self.n_head, c // self.n_head)
         q, k, v = (z.view(shape).transpose(1, 2) for z in (q, k, v))
         att = (q @ k.transpose(-2, -1)) / math.sqrt(k.size(-1))
-        att = att.masked_fill(self.mask[:t, :t] == 0, float("-inf"))
+        att = att.masked_fill(self.bias[:, :, :t, :t] == 0, float("-inf"))
         att = torch.softmax(att, dim=-1)
         return self.c_proj((att @ v).transpose(1, 2).reshape(b, t, c))
 
@@ -167,12 +169,14 @@ class TwinTransformer(nn.Module):
         self.seq_len = seq_len
         emb = nn.Module()
         emb.latent_embedding = nn.Embedding(n_classes, d)
-        pe = torch.zeros(pe_max, d)
+        pos_mod = nn.Module()  # buffer path matches the reference:
+        pe = torch.zeros(pe_max, d)  # embedding.positional_embedding.pe
         pos = torch.arange(pe_max).float().unsqueeze(1)
         div = (torch.arange(0, d, 2).float() * -(math.log(10000.0) / d)).exp()
         pe[:, 0::2] = torch.sin(pos * div)
         pe[:, 1::2] = torch.cos(pos * div)
-        emb.register_buffer("pe", pe.unsqueeze(0))
+        pos_mod.register_buffer("pe", pe.unsqueeze(0))
+        emb.positional_embedding = pos_mod
         self.embedding = emb
         self.transformer = nn.ModuleDict(dict(
             h=nn.ModuleList([TwinBlock(d, seq_len, heads)
@@ -199,7 +203,7 @@ class TwinTransformer(nn.Module):
 
     def forward(self, x, generate=True):
         x = self.embedding.latent_embedding(x) \
-            + self.embedding.pe[:, :x.size(1)]
+            + self.embedding.positional_embedding.pe[:, :x.size(1)]
         for blk in self.transformer.h:
             x = blk(x)
         x = self.transformer.ln_f(x)

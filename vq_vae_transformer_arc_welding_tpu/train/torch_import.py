@@ -171,6 +171,51 @@ def transformer_params_from_state_dict(sd, *, n_blocks: int,
 
 # -- MLP / GRU (model/mlp.py, model/gru.py) --------------------------------
 
+def export_transformer_to_lightning(model, params, path: str):
+    """Write our TransformerDecoder params as a reference-layout
+    Lightning .ckpt (inverse of transformer_params_from_state_dict)."""
+    import numpy as np
+    import torch
+
+    def t(a):
+        return torch.tensor(np.asarray(a, np.float32))
+
+    sd = {
+        "embedding.latent_embedding.weight": t(params["tok_emb"]),
+        # reference-registered buffers (embedding.py:21, transformer_block.py:35)
+        "embedding.positional_embedding.pe": t(model.pe).unsqueeze(0),
+        "transformer.ln_f.weight": t(params["ln_f_scale"]),
+        "transformer.ln_f.bias": t(params["ln_f_bias"]),
+        "lm_head.weight": t(params["lm_head_w"]).T,
+        "class_head.linear_1.weight": t(params["class_head"]["l1_w"]).T,
+        "class_head.linear_2.weight": t(params["class_head"]["l2_w"]).T,
+    }
+    if model.class_h_bias:
+        sd["class_head.linear_1.bias"] = t(params["class_head"]["l1_b"])
+        sd["class_head.linear_2.bias"] = t(params["class_head"]["l2_b"])
+    tril = torch.tril(torch.ones(model.seq_len, model.seq_len)).view(
+        1, 1, model.seq_len, model.seq_len)
+    for i, blk in enumerate(params["blocks"]):
+        pre = f"transformer.h.{i}"
+        sd[f"{pre}.attn.bias"] = tril.clone()
+        sd[f"{pre}.ln_1.weight"] = t(blk["ln1_scale"])
+        sd[f"{pre}.ln_1.bias"] = t(blk["ln1_bias"])
+        sd[f"{pre}.attn.c_attn.weight"] = t(blk["attn"]["c_attn_w"]).T
+        sd[f"{pre}.attn.c_attn.bias"] = t(blk["attn"]["c_attn_b"])
+        sd[f"{pre}.attn.c_proj.weight"] = t(blk["attn"]["c_proj_w"]).T
+        sd[f"{pre}.attn.c_proj.bias"] = t(blk["attn"]["c_proj_b"])
+        sd[f"{pre}.ln_2.weight"] = t(blk["ln2_scale"])
+        sd[f"{pre}.ln_2.bias"] = t(blk["ln2_bias"])
+        sd[f"{pre}.mlp.c_fc.weight"] = t(blk["mlp"]["c_fc_w"]).T
+        sd[f"{pre}.mlp.c_fc.bias"] = t(blk["mlp"]["c_fc_b"])
+        sd[f"{pre}.mlp.c_proj.weight"] = t(blk["mlp"]["c_proj_w"]).T
+        sd[f"{pre}.mlp.c_proj.bias"] = t(blk["mlp"]["c_proj_b"])
+    torch.save({"state_dict": sd, "hyper_parameters": dict(model.hparams),
+                "epoch": 0, "global_step": 0,
+                "pytorch-lightning_version": "2.0.0"}, path)
+    return path
+
+
 def mlp_params_from_state_dict(sd, *, n_hidden_layers: int):
     layers, bn = [], []
     n_stacks = n_hidden_layers + 1
