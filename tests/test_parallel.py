@@ -98,6 +98,31 @@ def test_transformer_tp_forward_matches_replicated(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_ring_attention_matches_dense(rng):
+    """Sequence-parallel ring attention over 8 devices == dense causal."""
+    from vq_vae_transformer_arc_welding_tpu.ops.attention import (
+        causal_attention_core)
+    from vq_vae_transformer_arc_welding_tpu.parallel.ring_attention import (
+        ring_causal_attention)
+
+    mesh = make_mesh(n_data=1, n_model=8)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 3, 64, 16)), jnp.float32)
+               for _ in range(3))
+    ref = causal_attention_core(q, k, v)
+    out = ring_causal_attention(q, k, v, mesh, axis_name="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ring_attention_nondivisible_raises(rng):
+    from vq_vae_transformer_arc_welding_tpu.parallel.ring_attention import (
+        ring_causal_attention)
+    mesh = make_mesh(n_data=1, n_model=8)
+    q = jnp.zeros((1, 1, 60, 8))
+    with pytest.raises(AssertionError):
+        ring_causal_attention(q, q, q, mesh, axis_name="model")
+
+
 def test_tp_dp_combined_train_step(rng):
     """One DP+TP training step compiles and runs on a 2x4 mesh."""
     import optax
