@@ -337,6 +337,8 @@ class Trainer:
             row["train_epoch/time_s"] = dt
             # losses already has one entry per micro-batch
             row["train_epoch/batches_per_s"] = len(losses) / dt
+            # north-star-style throughput meter (SURVEY.md §5)
+            row["train_epoch/windows_per_s"] = len(losses) * batch_size / dt
 
             if (epoch + 1) % self.check_val_every == 0:
                 val_metrics = self.evaluate(task, params, state,
