@@ -28,6 +28,23 @@ def test_quantized_matches_f32_labels(rng):
     assert agree > 0.9
 
 
+def test_bf16_serving_mode_label_parity(rng):
+    """compute_dtype=bfloat16 keeps classification labels identical and
+    logits within bf16 noise of the exact f32 forward."""
+    import jax.numpy as jnp
+    kw = dict(d_model=64, n_classes=34, seq_len=17, n_blocks=2, n_head=4)
+    m32 = TransformerDecoder(**kw)
+    mbf = TransformerDecoder(**kw, compute_dtype=jnp.bfloat16)
+    assert mbf.hparams == m32.hparams  # runtime-only option
+    params, _ = m32.init(0)
+    ids = jnp.asarray(rng.integers(0, 32, (8, 17)), jnp.int32)
+    ref, _ = m32.apply(params, None, ids, generate=False)
+    out, _ = mbf.apply(params, None, ids, generate=False)
+    assert float(jnp.max(jnp.abs(ref - out.astype(jnp.float32)))) < 0.05
+    np.testing.assert_array_equal(np.asarray(ref.argmax(-1)),
+                                  np.asarray(out.argmax(-1)))
+
+
 def test_quantization_is_symmetric_int8(rng):
     from vq_vae_transformer_arc_welding_tpu.models.quantized import (
         quantize_linear, qdot)

@@ -49,7 +49,7 @@ class TransformerDecoder(Module):
                  res_dropout: float = 0.1, att_dropout: float = 0.0,
                  learning_rate: float = 1e-3, class_h_bias: bool = False,
                  class_h_dropout: bool = False, pe_max_len: int = 512,
-                 attention_impl: str = "xla"):
+                 attention_impl: str = "xla", compute_dtype=None):
         assert d_model % n_head == 0
         self.d_model = d_model
         self.n_classes = n_classes
@@ -64,6 +64,9 @@ class TransformerDecoder(Module):
         self.betas = (0.9, 0.95)
         self.weight_decay = 0.1
         self.attention_impl = attention_impl
+        # runtime option (not an hparam): bf16 activations halve the
+        # HBM traffic of the serving forward; None keeps exact f32
+        self.compute_dtype = compute_dtype
         self.pe = jnp.asarray(sinusoidal_pe(pe_max_len, d_model))
         self.hparams = dict(d_model=d_model, n_classes=n_classes,
                             seq_len=seq_len, n_blocks=n_blocks, n_head=n_head,
@@ -145,28 +148,41 @@ class TransformerDecoder(Module):
             lambda *leaves: jnp.stack(leaves), *params["blocks"])
         return out
 
+    def _acc_dtype(self):
+        # exact-parity mode accumulates and CARRIES f32; bf16 mode keeps
+        # activations (and so HBM traffic) in bf16 between ops
+        return (jnp.float32 if self.compute_dtype is None
+                else self.compute_dtype)
+
     def _block_body(self, x, blk, *, train, rng, layer_idx):
         sub = (jax.random.fold_in(rng, layer_idx)
                if rng is not None else None)
         r_att, r_mlp = (jax.random.split(sub) if sub is not None
                         else (None, None))
-        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
-        x = x + causal_self_attention(
+        acc = self._acc_dtype()
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"]).astype(acc)
+        a = causal_self_attention(
             h, blk["attn"], n_head=self.n_head,
             attn_dropout_p=self.att_dropout,
             resid_dropout_p=self.res_dropout, train=train, rng=r_att,
             impl=self.attention_impl)
-        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        x = x + a.astype(x.dtype)
+        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"]).astype(acc)
         m = blk["mlp"]
         h = new_gelu(jnp.dot(h, m["c_fc_w"],
-                             preferred_element_type=jnp.float32) + m["c_fc_b"])
+                             preferred_element_type=acc) + m["c_fc_b"])
         h = jnp.dot(h, m["c_proj_w"],
-                    preferred_element_type=jnp.float32) + m["c_proj_b"]
-        return x + dropout(r_mlp, h, self.res_dropout, train)
+                    preferred_element_type=acc) + m["c_proj_b"]
+        return x + dropout(r_mlp, h, self.res_dropout, train).astype(x.dtype)
 
     def backbone(self, params, x_ids, *, train=False, rng=None):
         t = x_ids.shape[1]
         x = jnp.take(params["tok_emb"], x_ids, axis=0) + self.pe[None, :t]
+        if self.compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(self.compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+            x = x.astype(self.compute_dtype)
         blocks = params["blocks"]
         if isinstance(blocks, list):
             for i, blk in enumerate(blocks):

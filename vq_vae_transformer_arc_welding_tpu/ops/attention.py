@@ -51,8 +51,11 @@ def causal_self_attention(x, params, *, n_head: int, attn_dropout_p: float = 0.0
     params: c_attn_w (C, 3C), c_attn_b (3C,), c_proj_w (C, C), c_proj_b (C,)
     (torch Linear weights stored transposed for row-major x @ W).
     """
+    # projections follow the activation dtype (bf16 serving keeps HBM
+    # traffic half-width); score math stays f32 inside the core
+    acc = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     qkv = jnp.dot(x, params["c_attn_w"],
-                  preferred_element_type=jnp.float32) + params["c_attn_b"]
+                  preferred_element_type=acc) + params["c_attn_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q, k, v = (split_heads(t, n_head) for t in (q, k, v))
 
@@ -66,8 +69,8 @@ def causal_self_attention(x, params, *, n_head: int, attn_dropout_p: float = 0.0
         y = flash_causal_attention(q, k, v)
     else:
         y = causal_attention_core(q, k, v, attn_dropout_p=attn_dropout_p,
-                                  train=train, rng=rng_att)
+                                  train=train, rng=rng_att).astype(acc)
     y = merge_heads(y)
     y = jnp.dot(y, params["c_proj_w"],
-                preferred_element_type=jnp.float32) + params["c_proj_b"]
+                preferred_element_type=acc) + params["c_proj_b"]
     return dropout(rng_res, y, resid_dropout_p, train)
