@@ -46,6 +46,46 @@ def test_pipeline_tokens_and_ood(tmp_path, rng):
     assert scores.shape == (5,) and (scores >= 0).all()
 
 
+def test_pipeline_int8_precision(tmp_path, rng):
+    pipe32 = _tiny_pipeline(tmp_path)
+    pipe8 = _tiny_pipeline(tmp_path)
+    pipe8.precision = "int8"
+    pipe8._classify = __import__("jax").jit(pipe8._classify_fn)
+    x = rng.standard_normal((6, 2 * 200, 2)).astype(np.float32)
+    # classify before calibrate must fail loudly
+    try:
+        pipe8.classify(x)
+        assert False, "expected calibration error"
+    except RuntimeError:
+        pass
+    pipe8.calibrate(x)
+    l8, p8 = pipe8.classify(x)
+    l32, p32 = pipe32.classify(x)
+    np.testing.assert_array_equal(l8, l32)
+    np.testing.assert_allclose(p8, p32, atol=0.05)
+
+
+def test_quantized_calibrated_matches_dynamic(rng):
+    from vq_vae_transformer_arc_welding_tpu.models import TransformerDecoder
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        calibrate_activation_absmax, quantize_transformer,
+        quantized_classify)
+    import jax.numpy as jnp
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=9, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    ids = jnp.asarray(rng.integers(0, 16, (6, 9)), jnp.int32)
+    am = calibrate_activation_absmax(m, params, ids)
+    assert len(am) == 2 * 4 + 3  # 4 sites per block + lm/l1/l2
+    q_dyn = quantize_transformer(params)
+    q_cal = quantize_transformer(params, act_absmax=am)
+    out_d = quantized_classify(m, q_dyn, ids)
+    out_c = quantized_classify(m, q_cal, ids)
+    ref, _ = m.apply(params, None, ids, generate=False)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref), atol=0.05)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref), atol=0.05)
+
+
 def test_pipeline_sampling(tmp_path):
     pipe = _tiny_pipeline(tmp_path)
     toks = pipe.sample_tokens(2, top_k=4, seed=1)

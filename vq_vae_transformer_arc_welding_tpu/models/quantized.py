@@ -25,19 +25,30 @@ class QLinear(NamedTuple):
     w_int8: jnp.ndarray   # (in, out) int8
     scale: jnp.ndarray    # (out,) f32 per-output-channel dequant scale
     bias: jnp.ndarray | None
+    act_scale: jnp.ndarray | None = None  # () calibrated 127/absmax(x)
 
 
-def quantize_linear(w: jnp.ndarray, bias=None) -> QLinear:
+def quantize_linear(w: jnp.ndarray, bias=None, act_absmax=None) -> QLinear:
     absmax = jnp.max(jnp.abs(w), axis=0)           # per output column
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return QLinear(w_q, scale.astype(jnp.float32), bias)
+    act_scale = (None if act_absmax is None
+                 else jnp.asarray(127.0 / max(float(act_absmax), 1e-6),
+                                  jnp.float32))
+    return QLinear(w_q, scale.astype(jnp.float32), bias, act_scale)
 
 
 def qdot(x: jnp.ndarray, q: QLinear) -> jnp.ndarray:
-    """f32 activations -> dynamic int8 -> MXU int8 matmul -> f32."""
-    ax = jnp.max(jnp.abs(x))
-    s_x = jnp.where(ax > 0, 127.0 / ax, 1.0)
+    """f32 activations -> int8 -> MXU int8 matmul -> f32.
+
+    With a calibrated act_scale the quantization is a pure elementwise
+    op; without one, a dynamic per-tensor absmax reduction picks the
+    scale (slower but calibration-free)."""
+    if q.act_scale is not None:
+        s_x = q.act_scale
+    else:
+        ax = jnp.max(jnp.abs(x))
+        s_x = jnp.where(ax > 0, 127.0 / ax, 1.0)
     x_q = jnp.clip(jnp.round(x * s_x), -127, 127).astype(jnp.int8)
     o = jax.lax.dot_general(
         x_q, q.w_int8, (((x.ndim - 1,), (0,)), ((), ())),
@@ -48,35 +59,88 @@ def qdot(x: jnp.ndarray, q: QLinear) -> jnp.ndarray:
     return y
 
 
-def quantize_transformer(params) -> dict:
+def quantize_transformer(params, act_absmax: dict | None = None) -> dict:
     """Quantize all Linear weights of a TransformerDecoder param tree
-    (list-of-blocks layout)."""
+    (list-of-blocks layout). `act_absmax` (from
+    calibrate_activation_absmax) bakes static activation scales in —
+    the fast serving path; without it scales are dynamic per call."""
+    am = act_absmax or {}
+
+    def g(site):
+        return am.get(site)
+
     qp = {
         "tok_emb": params["tok_emb"],
         "ln_f_scale": params["ln_f_scale"], "ln_f_bias": params["ln_f_bias"],
-        "lm_head": quantize_linear(params["lm_head_w"]),
+        "lm_head": quantize_linear(params["lm_head_w"],
+                                   act_absmax=g("lm_in")),
         "class_head": {
             "l1": quantize_linear(params["class_head"]["l1_w"],
-                                  params["class_head"].get("l1_b")),
+                                  params["class_head"].get("l1_b"),
+                                  act_absmax=g("l1_in")),
             "l2": quantize_linear(params["class_head"]["l2_w"],
-                                  params["class_head"].get("l2_b")),
+                                  params["class_head"].get("l2_b"),
+                                  act_absmax=g("l2_in")),
         },
         "blocks": [],
     }
-    for blk in params["blocks"]:
+    for i, blk in enumerate(params["blocks"]):
         qp["blocks"].append({
             "ln1_scale": blk["ln1_scale"], "ln1_bias": blk["ln1_bias"],
             "ln2_scale": blk["ln2_scale"], "ln2_bias": blk["ln2_bias"],
             "c_attn": quantize_linear(blk["attn"]["c_attn_w"],
-                                      blk["attn"]["c_attn_b"]),
+                                      blk["attn"]["c_attn_b"],
+                                      act_absmax=g(f"b{i}_attn_in")),
             "c_proj": quantize_linear(blk["attn"]["c_proj_w"],
-                                      blk["attn"]["c_proj_b"]),
+                                      blk["attn"]["c_proj_b"],
+                                      act_absmax=g(f"b{i}_proj_in")),
             "c_fc": quantize_linear(blk["mlp"]["c_fc_w"],
-                                    blk["mlp"]["c_fc_b"]),
+                                    blk["mlp"]["c_fc_b"],
+                                    act_absmax=g(f"b{i}_fc_in")),
             "m_proj": quantize_linear(blk["mlp"]["c_proj_w"],
-                                      blk["mlp"]["c_proj_b"]),
+                                      blk["mlp"]["c_proj_b"],
+                                      act_absmax=g(f"b{i}_mproj_in")),
         })
     return qp
+
+
+def calibrate_activation_absmax(model, params, sample_ids,
+                                margin: float = 1.25) -> dict:
+    """Run the f32 forward on calibration data and record the absmax of
+    every quantized matmul's input (x margin for headroom)."""
+    from ..ops.norm import layer_norm
+    from ..ops.attention import causal_attention_core, merge_heads, split_heads
+    from ..ops.activations import gelu, new_gelu
+
+    am: dict[str, float] = {}
+
+    def rec(site, x):
+        am[site] = float(jnp.max(jnp.abs(x))) * margin
+        return x
+
+    t = sample_ids.shape[1]
+    x = jnp.take(params["tok_emb"], sample_ids, axis=0) + model.pe[None, :t]
+    for i, blk in enumerate(params["blocks"]):
+        h = rec(f"b{i}_attn_in",
+                layer_norm(x, blk["ln1_scale"], blk["ln1_bias"]))
+        qkv = jnp.dot(h, blk["attn"]["c_attn_w"]) + blk["attn"]["c_attn_b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (split_heads(z, model.n_head) for z in (q, k, v))
+        y = rec(f"b{i}_proj_in", merge_heads(causal_attention_core(q, k, v)))
+        x = x + jnp.dot(y, blk["attn"]["c_proj_w"]) + blk["attn"]["c_proj_b"]
+        h = rec(f"b{i}_fc_in",
+                layer_norm(x, blk["ln2_scale"], blk["ln2_bias"]))
+        h = rec(f"b{i}_mproj_in", new_gelu(
+            jnp.dot(h, blk["mlp"]["c_fc_w"]) + blk["mlp"]["c_fc_b"]))
+        x = x + jnp.dot(h, blk["mlp"]["c_proj_w"]) + blk["mlp"]["c_proj_b"]
+    x = layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
+    rec("lm_in", x)
+    rec("l1_in", x)
+    h = jnp.dot(x, params["class_head"]["l1_w"])
+    if "l1_b" in params["class_head"]:
+        h = h + params["class_head"]["l1_b"]
+    rec("l2_in", gelu(h.squeeze(-1)))
+    return am
 
 
 def quantized_backbone(model, qparams, x_ids):
