@@ -101,6 +101,31 @@ def test_early_stopping_triggers(data_dir):
     assert len(res.history) < 30
 
 
+def test_terminate_on_nan(rng):
+    import jax.numpy as jnp
+    from vq_vae_transformer_arc_welding_tpu.data.datasets import ArraySplit
+
+    x = rng.standard_normal((32, 4)).astype(np.float32)
+    x[5] = np.nan  # poison one sample
+    y = rng.integers(0, 2, 32)
+
+    class DM:
+        drop_last = True
+        train_sampling = None
+        batch_size = 8
+        train = ArraySplit(x, y)
+        val = ArraySplit(x[:8], y[:8])
+        test = val
+
+    model = MLP(input_size=4, output_size=2, in_dim=1, hidden_sizes=8,
+                n_hidden_layers=0, dropout_p=0.0, learning_rate=1e-2)
+    params, state = model.init(0)
+    tr = Trainer(max_epochs=2, verbose=False, terminate_on_nan=True)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        tr.fit(ClassificationTask(model), DM(), params, state,
+               make_radam(1e-2))
+
+
 def test_resume_from_last_matches_uninterrupted(data_dir, tmp_path):
     """Train 4 epochs straight vs 2 epochs + resume 2: same params."""
     import jax.numpy as jnp

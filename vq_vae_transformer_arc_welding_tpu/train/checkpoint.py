@@ -75,3 +75,39 @@ def load_checkpoint(path):
         return params, state
 
     return header["model"], header["hparams"], restore, header.get("extra", {})
+
+
+# -- orbax backend (sharded / async-capable, for large-scale runs) ----------
+
+def save_checkpoint_orbax(path, model_name: str, hparams: dict, params,
+                          state, extra: dict | None = None):
+    """Directory-based orbax checkpoint: sharding-aware array storage
+    (each leaf keeps its NamedSharding on restore-by-template), the
+    standard for multi-host TPU runs. Same header contract as the
+    msgpack format."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "arrays"),
+               {"params": params, "state": state}, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "header.json"), "w") as f:
+        json.dump({"model": model_name, "hparams": hparams,
+                   "extra": extra or {}, "format_version": 1,
+                   "backend": "orbax"}, f)
+
+
+def load_checkpoint_orbax(path, templates):
+    """Restore (header_dict, params, state) from an orbax checkpoint;
+    `templates` = model.init(...) output providing structure/shardings."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "header.json")) as f:
+        header = json.load(f)
+    t_params, t_state = templates
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.join(path, "arrays"),
+                             {"params": t_params, "state": t_state})
+    return header, restored["params"], restored["state"]

@@ -61,7 +61,8 @@ class Trainer:
                  check_val_every_n_epoch: int = 1, seed: int = 0,
                  metric_prefix: str = "", epoch_metric_hook=None,
                  verbose: bool = True, mesh=None, param_rules=None,
-                 profile_dir: str | None = None):
+                 profile_dir: str | None = None,
+                 terminate_on_nan: bool = False):
         self.max_epochs = max_epochs
         self.logger = logger
         self.monitor = monitor
@@ -83,6 +84,10 @@ class Trainer:
         # jax.profiler trace of the first post-compile epoch (the
         # reference has no profiling hooks at all — SURVEY.md §5)
         self.profile_dir = profile_dir
+        # failure detection (absent in the reference, SURVEY.md §5):
+        # abort the run on a non-finite training loss instead of
+        # silently corrupting the checkpoint chain
+        self.terminate_on_nan = terminate_on_nan
         self._step_counter = 0
         self._eval_cache: dict = {}
         self._train_cache: dict = {}
@@ -321,6 +326,11 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
             dt = time.perf_counter() - t0
+            if self.terminate_on_nan and not np.isfinite(losses).all():
+                bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch}, "
+                    f"micro-batch {bad}: {losses[bad]}")
 
             # train logging at log_every cadence (reference logs train
             # metrics every 50 batches, classification_model.py:115)
