@@ -27,6 +27,31 @@ def load_vqvae_any(model_path: str):
         return load_vqvae_checkpoint(model_path)
 
 
+def get_metadata_and_artifact_dir(model_name: str):
+    """Download a model artifact from wandb and parse its model name
+    (parity: reference latentspace_dataloader.py:266-291). Requires the
+    wandb package and an active run; raises ImportError otherwise."""
+    import os
+    try:
+        import wandb
+    except ImportError as e:
+        raise ImportError("wandb is not installed; pass a local checkpoint "
+                          "path instead of a wandb artifact link") from e
+    artifact_dir = f"./artifacts/{model_name.split('/')[-1]}"
+    artifact = wandb.use_artifact(model_name, type="model")
+    if not os.path.exists(artifact_dir):
+        artifact_dir = artifact.download()
+    original = artifact.metadata["original_filename"]
+    parts = original.split("-")
+    if parts[:3] == ["VQ", "VAE", "Patch"]:
+        parsed = "VQ-VAE-Patch"
+    elif parts[0] == "VQ":
+        parsed = f"{parts[0]}-{parts[1]}"
+    else:
+        raise ValueError(f"Model name: {model_name} not supported.")
+    return parsed, artifact_dir + "/model.ckpt"
+
+
 def get_latent_dataloader(use_wandb: bool, n_cycles: int, model_path: str,
                           val_ids: list[DataSplitId],
                           test_ids: list[DataSplitId], batch_size: int,
@@ -34,8 +59,11 @@ def get_latent_dataloader(use_wandb: bool, n_cycles: int, model_path: str,
                           data_directory_path: str | None = None):
     """Build the latent datamodule over a frozen VQ-VAE checkpoint
     (reference utils.py:16-42). Returns (datamodule, config)."""
-    split_path = model_path.split("/")
-    model_id = split_path[-1]
+    if use_wandb:
+        model_id = model_path.split("-")[-1]
+        _, model_path = get_metadata_and_artifact_dir(model_path)
+    else:
+        model_id = model_path.split("/")[-1]
     model, params, state = load_vqvae_any(model_path)
 
     dm = LatentPredDataModule(
