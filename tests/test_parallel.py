@@ -98,6 +98,40 @@ def test_transformer_tp_forward_matches_replicated(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_vq_ema_shard_map_codebooks_identical(rng):
+    """Explicit-axis EMA VQ: kmeans init, EMA stats, and dead-code
+    expiry must leave every device with the identical codebook."""
+    import functools
+    from vq_vae_transformer_arc_welding_tpu.ops.vq_ema import (EMAState,
+                                                               quantize_ema)
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    k, d = 8, 4
+    z = jnp.asarray(rng.standard_normal((64, 6, d)), jnp.float32)
+    state = EMAState.create(k, d)
+
+    def body(z, state):
+        out, new_state = quantize_ema(
+            z, state, train=True, rng=jax.random.PRNGKey(0),
+            kmeans_iters=3, threshold_ema_dead_code=2, axis_name="data")
+        return new_state.codebook
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P("data", None, None), P()),
+                   out_specs=P("data"))
+    # out_specs P('data') stacks each device's codebook: (8*k, d)
+    z_sh = jax.device_put(z, NamedSharding(mesh, P("data", None, None)))
+    stacked = np.asarray(fn(z_sh, state)).reshape(8, k, d)
+    for i in range(1, 8):
+        np.testing.assert_allclose(stacked[i], stacked[0], rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_ring_attention_matches_dense(rng):
     """Sequence-parallel ring attention over 8 devices == dense causal."""
     from vq_vae_transformer_arc_welding_tpu.ops.attention import (

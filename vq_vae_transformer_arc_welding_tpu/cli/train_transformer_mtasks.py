@@ -180,7 +180,18 @@ def main(hparams):
     results = {}
     if hparams.classification_only:
         if hparams.model_wandb_transformer:
-            m, p, s = TransformerDecoder.load(hparams.model_wandb_transformer)
+            model_path = hparams.model_wandb_transformer
+            if hparams.use_wandb:
+                # wandb artifact link -> local ckpt (reference
+                # train_transformer_mtasks.py:164-171)
+                import os
+                import wandb
+                artifact_dir = f"./artifacts/{model_path.split('/')[-1]}"
+                artifact = wandb.use_artifact(model_path, type="model")
+                if not os.path.exists(artifact_dir):
+                    artifact_dir = artifact.download()
+                model_path = artifact_dir + "/model.ckpt"
+            m, p, s = TransformerDecoder.load(model_path)
             run.model, run.params, run.state = m, p, s
             run.tx = make_transformer_optimizer(m, p, clip_norm=0.8)
             run.opt_state = run.tx.init(p)

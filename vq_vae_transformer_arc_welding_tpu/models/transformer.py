@@ -51,6 +51,11 @@ class TransformerDecoder(Module):
                  class_h_dropout: bool = False, pe_max_len: int = 512,
                  attention_impl: str = "xla", compute_dtype=None):
         assert d_model % n_head == 0
+        # the reference hard-codes a 512-entry PE table
+        # (transformer_decoder.py:22-23) and would crash past it; grow
+        # the table to cover seq_len so long-context models stay
+        # loadable while hparams remain reference-compatible
+        pe_max_len = max(pe_max_len, seq_len)
         self.d_model = d_model
         self.n_classes = n_classes
         self.seq_len = seq_len

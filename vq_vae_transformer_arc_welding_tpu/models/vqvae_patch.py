@@ -258,7 +258,10 @@ class VQVAEPatch(Module):
         z_e, _ = self.encode(params, state, x, train=False)
         if self.use_improved_vq:
             return vq_ema.quantize_ood(z_e, state["vq"])
-        idx = self.encode_indices(params, state, x)
+        from ..ops.vq import nearest_codes
+        find = self._nearest_fn() or nearest_codes
+        idx = find(z_e.reshape(-1, self.embedding_dim),
+                   params["vq"]["codebook"]).reshape(z_e.shape[:-1])
         z_q = vq_lookup(idx, params["vq"]["codebook"])
         return jnp.mean((jax.lax.stop_gradient(z_q) - z_e) ** 2, axis=(1, 2))
 

@@ -64,7 +64,12 @@ def causal_self_attention(x, params, *, n_head: int, attn_dropout_p: float = 0.0
     else:
         rng_att = rng_res = None
 
-    if impl == "pallas":
+    use_pallas = impl == "pallas"
+    if use_pallas and train and attn_dropout_p > 0.0:
+        # the fused kernel has no dropout; fall back rather than
+        # silently dropping regularization
+        use_pallas = False
+    if use_pallas:
         from .pallas_attn import flash_causal_attention
         y = flash_causal_attention(q, k, v)
     else:

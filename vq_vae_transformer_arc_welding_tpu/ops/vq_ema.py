@@ -43,23 +43,34 @@ class EMAState(NamedTuple):
         )
 
 
-def _kmeans(z_flat, k: int, iters: int, rng):
-    """Lloyd's kmeans on the first training batch (codebook bootstrap)."""
+def _kmeans(z_flat, k: int, iters: int, rng, axis_name: str | None = None):
+    """Lloyd's kmeans on the first training batch (codebook bootstrap).
+
+    Under an explicit data axis (shard_map/pmap) the per-iteration
+    statistics are psum'd and the initial means pmean'd so every device
+    bootstraps the identical codebook."""
     n = z_flat.shape[0]
     idx = jax.random.randint(rng, (k,), 0, n)
     means = z_flat[idx]
+    if axis_name is not None:
+        means = jax.lax.pmean(means, axis_name)
 
     def body(_, means):
         assign = nearest_codes(z_flat, means)
         onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)
         counts = onehot.sum(0)
         sums = onehot.T @ z_flat
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+            sums = jax.lax.psum(sums, axis_name)
         new = sums / jnp.maximum(counts[:, None], 1.0)
         return jnp.where(counts[:, None] > 0, new, means)
 
     means = jax.lax.fori_loop(0, max(iters, 1), body, means)
     assign = nearest_codes(z_flat, means)
     counts = jax.nn.one_hot(assign, k, dtype=jnp.float32).sum(0)
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
     return means, counts
 
 
@@ -86,7 +97,8 @@ def quantize_ema(z_e, state: EMAState, *, beta: float = 0.25, train: bool,
 
     if train:
         def do_init(s):
-            means, counts = _kmeans(flat, k, kmeans_iters, r_init)
+            means, counts = _kmeans(flat, k, kmeans_iters, r_init,
+                                    axis_name=axis_name)
             return EMAState(means, counts, means * counts[:, None],
                             jnp.ones((), jnp.int32))
         state = jax.lax.cond(state.initialized == 0, do_init, lambda s: s, state)
@@ -121,6 +133,12 @@ def quantize_ema(z_e, state: EMAState, *, beta: float = 0.25, train: bool,
             dead = cluster_size < threshold_ema_dead_code
             sample_idx = jax.random.randint(r_expire, (k,), 0, flat.shape[0])
             samples = flat[sample_idx]
+            if axis_name is not None:
+                # keep replicas' codebooks identical: average the
+                # per-device candidate rows (a distributional tweak of
+                # vq-pytorch's local-batch sampling, which would desync
+                # codebooks under an explicit data axis)
+                samples = jax.lax.pmean(samples, axis_name)
             codebook = jnp.where(dead[:, None], samples, codebook)
             cluster_size = jnp.where(dead, jnp.asarray(threshold_ema_dead_code,
                                                        jnp.float32), cluster_size)

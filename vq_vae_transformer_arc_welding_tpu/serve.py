@@ -27,10 +27,19 @@ class WeldingQualityPipeline:
     """
 
     def __init__(self, vqvae, transformer, n_cycles: int,
-                 max_batch: int = 64, precision: str = "f32"):
+                 max_batch: int = 64, precision: str = "f32",
+                 start_token: int | None = None):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 — call calibrate() with sample
-        windows before classify; ~17% faster, label-identical)."""
+        windows before classify; ~17% faster, label-identical).
+
+        start_token: the <start> id the transformer was trained with.
+        The training pipeline derives it as observed_max_token + 1
+        (data/datasets.py::make_autoregressive, reproducing the
+        reference quirk), which equals num_embeddings only when every
+        codebook entry occurs in the training data. Pass the trained
+        value explicitly when the codebook has dead codes; the default
+        assumes full codebook usage."""
         self.vq_model, self.vq_params, self.vq_state = vqvae
         self.tr_model, self.tr_params = transformer
         if precision == "bf16":
@@ -39,7 +48,8 @@ class WeldingQualityPipeline:
         self.qparams = None
         self.n_cycles = n_cycles
         self.max_batch = max_batch
-        self.start_token = self.vq_model.num_embeddings
+        self.start_token = (start_token if start_token is not None
+                            else self.vq_model.num_embeddings)
         self._classify = jax.jit(self._classify_fn)
         self._encode = jax.jit(self._encode_fn)
         self._ood = jax.jit(
@@ -62,11 +72,14 @@ class WeldingQualityPipeline:
 
     @classmethod
     def from_checkpoints(cls, vqvae_ckpt: str, transformer_ckpt: str,
-                         n_cycles: int = 20, max_batch: int = 64):
+                         n_cycles: int = 20, max_batch: int = 64,
+                         precision: str = "f32",
+                         start_token: int | None = None):
         from .cli.shared import load_vqvae_any
         vq = load_vqvae_any(vqvae_ckpt)
         tr_model, tr_params, _ = TransformerDecoder.load(transformer_ckpt)
-        return cls(vq, (tr_model, tr_params), n_cycles, max_batch)
+        return cls(vq, (tr_model, tr_params), n_cycles, max_batch,
+                   precision=precision, start_token=start_token)
 
     # -- jitted cores ------------------------------------------------------
 
@@ -98,18 +111,8 @@ class WeldingQualityPipeline:
     def _batched(self, fn, x: np.ndarray) -> np.ndarray:
         """Run fn over fixed max_batch chunks (pad the tail) so at most
         two graphs compile regardless of request size."""
-        n = len(x)
-        outs = []
-        for s in range(0, n, self.max_batch):
-            block = x[s:s + self.max_batch]
-            pad = self.max_batch - len(block)
-            if pad and n > self.max_batch:
-                block = np.concatenate(
-                    [block, np.zeros((pad,) + block.shape[1:], block.dtype)])
-                outs.append(np.asarray(fn(jnp.asarray(block)))[:-pad])
-            else:
-                outs.append(np.asarray(fn(jnp.asarray(block))))
-        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+        from .data.latent import _chunked_device_map
+        return _chunked_device_map(fn, x, chunk=self.max_batch)
 
     def classify(self, windows: np.ndarray):
         """windows: (N, n_cycles*200, 2) scaled cycles. Returns

@@ -183,11 +183,12 @@ class Trainer:
 
         Weighted sampling with replacement == WeightedRandomSampler;
         uniform == RandomSampler. Batch counts that don't divide the
-        accumulation factor are rounded up by wrap-around resampling
-        (fixed scan shape) instead of a partial final group.
+        accumulation factor are rounded UP by wrap-around resampling
+        (fixed scan shape) instead of a partial final group — no data
+        is dropped; the tail group sees a few resampled duplicates.
         """
         n_batches = n // batch_size if drop_last else -(-n // batch_size)
-        n_groups = max(1, n_batches // self.accum)
+        n_groups = max(1, -(-n_batches // self.accum))
         total = n_groups * self.accum * batch_size
         if weights is not None:
             p = weights / weights.sum()
@@ -224,23 +225,30 @@ class Trainer:
                  drop_last: bool, split_name: str = "val"):
         """Per-batch metrics then batch-mean aggregation (the
         reference's f1_score_mean semantics, classification_model.py:154-171)."""
-        arrays = task.batch_arrays(split)
         n = len(split.x)
         idx2_sharding = None
-        if self.mesh is not None:
-            params, state, arrays, _, idx2_sharding = self._place(
-                params, state, arrays)
-            if batch_size % self.mesh.shape["data"]:
-                idx2_sharding = None
         main_idx, rem = self._eval_indices(n, batch_size, drop_last)
         per_batch: dict[str, list] = {}
-        cache_key = (id(task), split_name)
+        # cache the compiled eval AND its device-resident arrays; the
+        # strong refs to task/split keep id()s stable and avoid
+        # re-uploading the split every epoch. Contract: the split's
+        # arrays must not be swapped out under the same objects.
+        cache_key = (id(task), id(split), split_name)
         if cache_key not in self._eval_cache:
+            arrays = task.batch_arrays(split)
+            if self.mesh is not None:
+                params, state, arrays, _, idx2_sharding = self._place(
+                    params, state, arrays)
+                if batch_size % self.mesh.shape["data"]:
+                    idx2_sharding = None
             eval_fn = self._make_eval(task, arrays)
             rem_fn = jax.jit(lambda p, s, idx: task.loss_and_metrics(
                 p, s, _gather_batch(arrays, idx), train=False, rng=None)[1])
-            self._eval_cache[cache_key] = (eval_fn, rem_fn)
-        eval_fn, rem_fn = self._eval_cache[cache_key]
+            self._eval_cache[cache_key] = (eval_fn, rem_fn, idx2_sharding,
+                                           task, split)
+        elif self.mesh is not None:
+            params, state, _, _, _ = self._place(params, state, ())
+        eval_fn, rem_fn, idx2_sharding, _, _ = self._eval_cache[cache_key]
         if len(main_idx):
             main_idx = jnp.asarray(main_idx)
             if idx2_sharding is not None:
@@ -289,14 +297,17 @@ class Trainer:
             idx3_sharding = None  # uneven batch: run replicated
         if opt_state is None:
             opt_state = tx.init(params)
-        # cache the compiled epoch per (task, datamodule): repeated
-        # fit() calls on the same stage (the transformer's alternating
-        # schedule) must not recompile — TPU compiles are expensive
-        tc_key = (id(task), id(datamodule), batch_size)
+        # cache the compiled epoch per (task, datamodule, optimizer):
+        # repeated fit() calls on the same stage (the transformer's
+        # alternating schedule) must not recompile — TPU compiles are
+        # expensive. Strong refs pin the id()s; a DIFFERENT tx object
+        # gets its own compiled epoch (the closure captures tx).
+        tc_key = (id(task), id(datamodule), id(tx), batch_size)
         if tc_key not in self._train_cache:
-            self._train_cache[tc_key] = self._make_train_epoch(
-                task, tx, arrays, batch_size)
-        epoch_fn = self._train_cache[tc_key]
+            self._train_cache[tc_key] = (
+                self._make_train_epoch(task, tx, arrays, batch_size),
+                task, datamodule, tx)
+        epoch_fn = self._train_cache[tc_key][0]
 
         best_score, best_epoch = None, -1
         best_params, best_state = params, state
