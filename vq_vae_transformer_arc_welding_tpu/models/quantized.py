@@ -148,6 +148,10 @@ def quantized_backbone(model, qparams, x_ids):
     from ..ops.attention import causal_attention_core, merge_heads, split_heads
     from ..ops.norm import layer_norm
 
+    # NB: keep the XLA attention here — the fused Pallas kernel wins in
+    # isolation (2.46 vs 3.92 ms at bench shape) but breaks XLA's fusion
+    # of attention with the surrounding quant/dequant elementwise ops,
+    # costing ~25% end-to-end (measured 2492 vs 3418 windows/s)
     t = x_ids.shape[1]
     x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
     for blk in qparams["blocks"]:
