@@ -31,7 +31,17 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    use = devices[:n_data * n_model]
+    need = n_data * n_model
+    if n_data < 1 or len(devices) < need:
+        platform = devices[0].platform if devices else "none"
+        raise ValueError(
+            f"make_mesh needs n_data*n_model = {n_data}*{n_model} = {need} "
+            f"devices but only {len(devices)} are available "
+            f"(platform '{platform}'). To simulate a multi-chip mesh, force "
+            f"virtual CPU devices before any jax device use: "
+            f"jax.config.update('jax_platforms', 'cpu'); "
+            f"jax.config.update('jax_num_cpu_devices', {max(need, 2)}).")
+    use = devices[:need]
     arr = np.array(use).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 

@@ -10,8 +10,8 @@ accumulation, distributed. Communication overlaps compute on TPU
 because ppermute is asynchronous under XLA's scheduler.
 
 Verified against the dense causal core on an 8-virtual-device mesh
-(tests/test_parallel.py) and used by dryrun_multichip when an 'sp'
-axis is present.
+(tests/test_parallel.py) and exercised by dryrun_multichip over the
+'model' mesh axis whenever that axis has more than one device.
 """
 from __future__ import annotations
 
@@ -22,6 +22,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _pvary(x, axis_names):
+    """Mark x as device-varying over the given axes.
+
+    jax >= 0.9 renamed `lax.pvary` to `lax.pcast(..., to='varying')`;
+    keep a shim so no DeprecationWarning fires and older jax still works.
+    """
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, axis_names, to="varying")
+    return jax.lax.pvary(x, axis_names)
+
+
 def _ring_body(q, k, v, *, axis_name: str, t_local: int, scale: float):
     """Per-device shard_map body. q,k,v: (B, H, T_local, D)."""
     n_dev = jax.lax.psum(1, axis_name)
@@ -30,12 +41,11 @@ def _ring_body(q, k, v, *, axis_name: str, t_local: int, scale: float):
     b, h, tl, d = q.shape
     q_pos = my_idx * t_local + jnp.arange(t_local)          # global q rows
 
-    # pvary: the accumulators become device-varying after step 1, so the
-    # scan carry must be marked varying over the ring axis from the start
-    m = jax.lax.pvary(jnp.full((b, h, tl, 1), -jnp.inf, jnp.float32),
-                      (axis_name,))
-    l = jax.lax.pvary(jnp.zeros((b, h, tl, 1), jnp.float32), (axis_name,))
-    acc = jax.lax.pvary(jnp.zeros((b, h, tl, d), jnp.float32), (axis_name,))
+    # the accumulators become device-varying after step 1, so the scan
+    # carry must be marked varying over the ring axis from the start
+    m = _pvary(jnp.full((b, h, tl, 1), -jnp.inf, jnp.float32), (axis_name,))
+    l = _pvary(jnp.zeros((b, h, tl, 1), jnp.float32), (axis_name,))
+    acc = _pvary(jnp.zeros((b, h, tl, d), jnp.float32), (axis_name,))
 
     def step(carry, step_idx):
         k_blk, v_blk, m, l, acc = carry
