@@ -138,6 +138,44 @@ def test_generate_kv_matches_generate(rng):
                                  rng=k)))
 
 
+def test_generate_kv_long_prompt_and_cropping(rng):
+    """generate_kv must match generate when (a) the prompt has t0 > 1
+    tokens (batched prefill), (b) generation overruns seq_len so the
+    reference's context cropping kicks in, and (c) the prompt itself is
+    already longer than seq_len."""
+    import jax.numpy as jnp
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=10, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    k = jax.random.PRNGKey(3)
+
+    # t0=4 prompt, default steps (total 14 > seq_len 10: cropping tail)
+    prompt = jnp.asarray(rng.integers(0, 16, (3, 4)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(m.generate(params, prompt, do_sample=False)),
+        np.asarray(m.generate_kv(params, prompt, do_sample=False)))
+    np.testing.assert_array_equal(
+        np.asarray(m.generate(params, prompt, do_sample=True, top_k=5,
+                              rng=k)),
+        np.asarray(m.generate_kv(params, prompt, do_sample=True, top_k=5,
+                                 rng=k)))
+
+    # steps far past seq_len from a single start token
+    start = jnp.full((2, 1), 16, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(m.generate(params, start, do_sample=False, num_steps=25)),
+        np.asarray(m.generate_kv(params, start, do_sample=False,
+                                 num_steps=25)))
+
+    # prompt longer than the context window (pure recompute fallback)
+    long_prompt = jnp.asarray(rng.integers(0, 16, (2, 13)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(m.generate(params, long_prompt, do_sample=False,
+                              num_steps=6)),
+        np.asarray(m.generate_kv(params, long_prompt, do_sample=False,
+                                 num_steps=6)))
+
+
 def test_mlp_matches_twin(rng):
     twin = TwinMLP(input_size=10, in_dim=4, hidden=16, n_hidden=2)
     twin.eval()

@@ -91,3 +91,39 @@ def test_pipeline_sampling(tmp_path):
     toks = pipe.sample_tokens(2, top_k=4, seed=1)
     assert toks.shape == (2, pipe.tr_model.seq_len)
     assert (toks >= 0).all() and (toks < 10).all()
+
+
+def test_pipeline_sampling_from_prompt(tmp_path, rng):
+    """sample_tokens must accept a real prompt (t0 > 1), not just the
+    bare start token, and return the prompt followed by continuations."""
+    pipe = _tiny_pipeline(tmp_path)
+    prompt = rng.integers(0, 8, (3, 5)).astype(np.int64)
+    toks = pipe.sample_tokens(prompt=prompt, top_k=4, seed=2, num_steps=6)
+    assert toks.shape == (3, 5 + 6)
+    np.testing.assert_array_equal(toks[:, :5], prompt)
+    assert (toks >= 0).all() and (toks < 10).all()
+
+
+def test_int8_calibration_distribution_shift(tmp_path, rng):
+    """Calibrate on one synthetic welding regime, serve a shifted one.
+
+    The envelope we assert: with calibration windows drawn from N(0,1)
+    and serving windows shifted/scaled well outside it (x3 amplitude +
+    offset), int8 labels still agree 100% with f32 and probabilities
+    stay within 0.05 — activation clipping degrades gracefully because
+    the transformer only ever sees *token ids* (the f32 VQ encoder in
+    front is unquantized, bounding the id distribution by K)."""
+    pipe32 = _tiny_pipeline(tmp_path)
+    pipe8 = _tiny_pipeline(tmp_path)
+    pipe8.precision = "int8"
+    pipe8._classify = __import__("jax").jit(pipe8._classify_fn)
+
+    calib = rng.standard_normal((16, 2 * 200, 2)).astype(np.float32)
+    pipe8.calibrate(calib, max_samples=12)
+
+    shifted = (3.0 * rng.standard_normal((10, 2 * 200, 2)) + 1.5
+               ).astype(np.float32)
+    l8, p8 = pipe8.classify(shifted)
+    l32, p32 = pipe32.classify(shifted)
+    np.testing.assert_array_equal(l8, l32)
+    np.testing.assert_allclose(p8, p32, atol=0.05)

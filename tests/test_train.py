@@ -60,6 +60,54 @@ def test_mlp_classification_end_to_end(data_dir, tmp_path):
     assert "val/f1_score_mean" in cols and "train/loss" in cols
 
 
+def test_best_ckpt_artifact_upload(data_dir, tmp_path):
+    """Loggers with log_model=True receive every best/last checkpoint
+    as an artifact (reference WandbLogger(log_model=True) behavior,
+    train_reconstruction_embedding.py:144); loggers without the flag
+    (CSV) must not be called."""
+    from vq_vae_transformer_arc_welding_tpu.log.base import Logger
+
+    class FakeRemoteLogger(Logger):
+        def __init__(self):
+            self.log_model = True
+            self.artifacts = []
+
+        def log_metrics(self, metrics, step=None):
+            pass
+
+        def log_artifact(self, path, name=None, type_="model"):
+            self.artifacts.append((path, name, type_))
+
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="classification", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=32,
+                          data_directory_path=data_dir)
+    dm.setup()
+    model = MLP(input_size=200, output_size=2, in_dim=2, hidden_sizes=16,
+                n_hidden_layers=1, dropout_p=0.0, learning_rate=1e-3)
+    params, state = model.init(0)
+    logger = FakeRemoteLogger()
+    tr = Trainer(max_epochs=2, logger=logger, monitor="val/f1_score_mean",
+                 mode="max", checkpoint_dir=str(tmp_path / "ck"),
+                 checkpoint_name="m", save_last=True, verbose=False)
+    tr.fit(task := ClassificationTask(model), dm, params, state,
+           make_radam(1e-3))
+    names = [n for _, n, _ in logger.artifacts]
+    assert "m.ckpt" in names, names          # at least one best save
+    assert "last.ckpt" in names, names
+    assert all(t == "model" for _, _, t in logger.artifacts)
+    import os
+    assert all(os.path.exists(p) for p, _, _ in logger.artifacts)
+
+    # CSV logger (no log_model) must silently no-op, not crash
+    params2, state2 = model.init(1)  # fit donates its input buffers
+    tr2 = Trainer(max_epochs=1, logger=CSVLogger(str(tmp_path / "lg"), "t"),
+                  monitor="val/f1_score_mean", mode="max",
+                  checkpoint_dir=str(tmp_path / "ck2"), verbose=False)
+    tr2.fit(task, dm, params2, state2, make_radam(1e-3))
+
+
 def test_vqvae_reconstruction_training_improves(data_dir, tmp_path):
     ids = get_val_test_ids()
     dm = ASIMoWDataModule(task="reconstruction", n_cycles=1,

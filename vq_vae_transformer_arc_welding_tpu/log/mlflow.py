@@ -52,6 +52,7 @@ class MLFlowLogger(Logger):
         mlflow.set_experiment(experiment_name)
         self.run = mlflow.start_run(run_name=run_name)
         self.run_id = self.run.info.run_id
+        self.log_model = log_model
         tags = dict(tags or {})
         commit = current_git_commit()
         if commit:

@@ -26,8 +26,11 @@ class WandbLogger(Logger):
     def log_metrics(self, metrics: dict, step: int | None = None):
         self.run.log(metrics, step=step)
 
-    def log_artifact(self, path: str, name: str, type_: str = "model"):
-        art = self._wandb.Artifact(name, type=type_)
+    def log_artifact(self, path: str, name: str | None = None,
+                     type_: str = "model"):
+        import os
+        art = self._wandb.Artifact(name or os.path.basename(path),
+                                   type=type_)
         art.add_file(path)
         self.run.log_artifact(art)
 

@@ -14,7 +14,8 @@ Reference quirks reproduced knowingly:
   simply don't apply them either.
 - generation recomputes the full forward per step (no KV cache,
   reference :203-224); our `generate` is a fixed-shape lax.scan so it
-  jits, and a KV-cached path is planned as the fast option.
+  jits, and `generate_kv` is the output-equal fast path (batched
+  prefill + per-token KV cache, recompute tail once cropping starts).
 """
 from __future__ import annotations
 
@@ -25,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.activations import gelu, new_gelu
-from ..ops.attention import causal_self_attention, merge_heads, split_heads
+from ..ops.attention import (causal_attention_core, causal_self_attention,
+                             merge_heads, split_heads)
 from ..ops.norm import layer_norm
 from ..utils.random import dropout
 from .base import Module
@@ -244,22 +246,25 @@ class TransformerDecoder(Module):
 
     # -- autoregressive sampling (reference :203-224) ----------------------
 
-    def generate(self, params, x_ids, *, do_sample: bool = False,
-                 top_k: int | None = None, rng=None, num_steps: int | None = None):
-        """Append `num_steps` (default seq_len) sampled tokens.
+    @staticmethod
+    def _sample_from_logits(last, key, do_sample, top_k):
+        """Top-k filter + categorical/argmax (reference :211-222)."""
+        if top_k is not None:
+            kth = jnp.sort(last, axis=-1)[:, -top_k][:, None]
+            last = jnp.where(last < kth, -jnp.inf, last)
+        if do_sample:
+            return jax.random.categorical(key, last, axis=-1)
+        return jnp.argmax(last, axis=-1)
 
-        Fixed-shape lax.scan: the context window is a seq_len-sized
-        dynamic slice of the growing buffer; garbage tail positions are
-        harmless because causal attention never lets them reach the
-        query at the current length.
-        """
-        if rng is None:
-            rng = jax.random.PRNGKey(0)
-        steps = self.seq_len if num_steps is None else num_steps
-        b, t0 = x_ids.shape
-        buf = jnp.concatenate(
-            [x_ids, jnp.zeros((b, steps), x_ids.dtype)], axis=1)
-        total = t0 + steps
+    def _recompute_scan(self, params, buf, cur0: int, keys, *, total: int,
+                        do_sample: bool, top_k: int | None):
+        """Full-forward-per-step sampling over the buffer, starting at
+        position cur0 — the reference's context-cropping loop
+        (transformer_decoder.py:203-224). The context window is a
+        seq_len-sized dynamic slice of the growing buffer; garbage tail
+        positions are harmless because causal attention never lets them
+        reach the query at the current length."""
+        b = buf.shape[0]
 
         def step(carry, key):
             buf, cur = carry
@@ -270,20 +275,26 @@ class TransformerDecoder(Module):
             pos = jnp.minimum(cur, self.seq_len) - 1
             last = jax.lax.dynamic_slice(
                 logits, (0, pos, 0), (b, 1, logits.shape[-1]))[:, 0]
-            if top_k is not None:
-                kth = jnp.sort(last, axis=-1)[:, -top_k][:, None]
-                last = jnp.where(last < kth, -jnp.inf, last)
-            if do_sample:
-                nxt = jax.random.categorical(key, last, axis=-1)
-            else:
-                nxt = jnp.argmax(last, axis=-1)
+            nxt = self._sample_from_logits(last, key, do_sample, top_k)
             buf = jax.lax.dynamic_update_slice(
                 buf, nxt[:, None].astype(buf.dtype), (0, cur))
             return (buf, cur + 1), None
 
-        (buf, _), _ = jax.lax.scan(step, (buf, jnp.asarray(t0)),
-                                   jax.random.split(rng, steps))
+        (buf, _), _ = jax.lax.scan(step, (buf, jnp.asarray(cur0)), keys)
         return buf
+
+    def generate(self, params, x_ids, *, do_sample: bool = False,
+                 top_k: int | None = None, rng=None, num_steps: int | None = None):
+        """Append `num_steps` (default seq_len) sampled tokens."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        steps = self.seq_len if num_steps is None else num_steps
+        b, t0 = x_ids.shape
+        buf = jnp.concatenate(
+            [x_ids, jnp.zeros((b, steps), x_ids.dtype)], axis=1)
+        return self._recompute_scan(
+            params, buf, t0, jax.random.split(rng, steps),
+            total=t0 + steps, do_sample=do_sample, top_k=top_k)
 
     # -- KV-cached sampling (O(T^2) total vs the reference's O(T^3)) -------
 
@@ -335,27 +346,74 @@ class TransformerDecoder(Module):
                          preferred_element_type=jnp.float32)
         return logits, new_caches
 
+    def _prefill(self, params, x_ids, caches):
+        """One batched forward over the whole prompt, writing every
+        block's K/V into the caches at positions [0, t0). Returns
+        (last-position logits, caches). Same f32 math as _token_step."""
+        b, t0 = x_ids.shape
+        x = jnp.take(params["tok_emb"], x_ids, axis=0) + self.pe[None, :t0]
+        new_caches = []
+        for blk, (k_c, v_c) in zip(params["blocks"], caches):
+            h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+            p = blk["attn"]
+            qkv = jnp.dot(h, p["c_attn_w"],
+                          preferred_element_type=jnp.float32) + p["c_attn_b"]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = (split_heads(t, self.n_head) for t in (q, k, v))
+            k_c = jax.lax.dynamic_update_slice(k_c, k, (0, 0, 0, 0))
+            v_c = jax.lax.dynamic_update_slice(v_c, v, (0, 0, 0, 0))
+            y = merge_heads(causal_attention_core(q, k, v))
+            y = jnp.dot(y, p["c_proj_w"],
+                        preferred_element_type=jnp.float32) + p["c_proj_b"]
+            x = x + y
+            h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+            m = blk["mlp"]
+            h = new_gelu(jnp.dot(h, m["c_fc_w"],
+                                 preferred_element_type=jnp.float32)
+                         + m["c_fc_b"])
+            x = x + jnp.dot(h, m["c_proj_w"],
+                            preferred_element_type=jnp.float32) + m["c_proj_b"]
+            new_caches.append((k_c, v_c))
+        x = layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
+        logits = jnp.dot(x[:, -1], params["lm_head_w"],
+                         preferred_element_type=jnp.float32)
+        return logits, new_caches
+
     def generate_kv(self, params, x_ids, *, do_sample: bool = False,
                     top_k: int | None = None, rng=None,
                     num_steps: int | None = None):
         """KV-cached autoregressive sampling; same output contract as
-        `generate` for contexts that never exceed seq_len."""
+        `generate` for any prompt length and step count.
+
+        The prompt is prefilled in ONE batched forward (not
+        token-by-token). Steps whose context still fits in seq_len run
+        on the KV cache (O(T) per step); once the reference's context
+        cropping would kick in (current length > seq_len,
+        transformer_decoder.py:203-224) the remaining steps fall back to
+        the full-window recompute, which is the only way to match the
+        cropped positional embeddings exactly.
+        """
         if rng is None:
             rng = jax.random.PRNGKey(0)
         steps = self.seq_len if num_steps is None else num_steps
         b, t0 = x_ids.shape
-        assert t0 + steps <= self.seq_len + 1, \
-            "KV path does not implement context cropping; use generate()"
+        total = t0 + steps
+        keys = jax.random.split(rng, steps)
+        buf = jnp.concatenate(
+            [x_ids, jnp.zeros((b, steps), x_ids.dtype)], axis=1)
+        # a step appending at position `cur` can use the cache only while
+        # the uncropped context [0, cur) fits: cur <= seq_len
+        n_kv = max(0, min(steps, self.seq_len - t0 + 1))
+        if n_kv == 0:  # prompt already longer than the context window
+            return self._recompute_scan(params, buf, t0, keys, total=total,
+                                        do_sample=do_sample, top_k=top_k)
+
         cache_len = self.seq_len
         hd = self.d_model // self.n_head
         caches = [(jnp.zeros((b, self.n_head, cache_len, hd)),
                    jnp.zeros((b, self.n_head, cache_len, hd)))
                   for _ in params["blocks"]]
-
-        # prefill the prompt one token at a time (t0 is typically 1)
-        logits = None
-        for i in range(t0):
-            logits, caches = self._token_step(params, x_ids[:, i], i, caches)
+        logits, caches = self._prefill(params, x_ids, caches)
 
         flat = []
         for k_c, v_c in caches:
@@ -365,17 +423,11 @@ class TransformerDecoder(Module):
             buf, cur, logits, *flat_caches = carry
             caches = [(flat_caches[2 * i], flat_caches[2 * i + 1])
                       for i in range(self.n_blocks)]
-            last = logits
-            if top_k is not None:
-                kth = jnp.sort(last, axis=-1)[:, -top_k][:, None]
-                last = jnp.where(last < kth, -jnp.inf, last)
-            if do_sample:
-                nxt = jax.random.categorical(key, last, axis=-1)
-            else:
-                nxt = jnp.argmax(last, axis=-1)
+            nxt = self._sample_from_logits(logits, key, do_sample, top_k)
             buf = jax.lax.dynamic_update_slice(
                 buf, nxt[:, None].astype(buf.dtype), (0, cur))
-            # compute logits for the appended token unless we're done
+            # logits for the appended token (the clamp only ever fires on
+            # the final KV step, whose logits are never consumed)
             new_logits, caches = self._token_step(
                 params, nxt.astype(jnp.int32),
                 jnp.minimum(cur, cache_len - 1), caches)
@@ -384,8 +436,11 @@ class TransformerDecoder(Module):
                 flat2.extend([k_c, v_c])
             return (buf, cur + 1, new_logits, *flat2), None
 
-        buf = jnp.concatenate([x_ids,
-                               jnp.zeros((b, steps), x_ids.dtype)], axis=1)
         carry = (buf, jnp.asarray(t0), logits, *flat)
-        carry, _ = jax.lax.scan(step, carry, jax.random.split(rng, steps))
-        return carry[0]
+        carry, _ = jax.lax.scan(step, carry, keys[:n_kv])
+        buf = carry[0]
+        if steps > n_kv:  # context-cropping tail, reference semantics
+            buf = self._recompute_scan(params, buf, t0 + n_kv, keys[n_kv:],
+                                       total=total, do_sample=do_sample,
+                                       top_k=top_k)
+        return buf

@@ -56,12 +56,22 @@ class WeldingQualityPipeline:
             lambda x: self.vq_model.forward_ood(self.vq_params,
                                                 self.vq_state, x))
 
-    def calibrate(self, sample_windows: np.ndarray):
+    def calibrate(self, sample_windows: np.ndarray,
+                  max_samples: int | None = None):
         """Calibrate int8 activation scales on representative windows
-        (required before classify() when precision='int8')."""
+        (required before classify() when precision='int8').
+
+        Uses ALL provided windows by default; pass max_samples to cap
+        the calibration set. Coverage matters: the scales clip any
+        future activation larger than what calibration saw (x1.25
+        headroom margin), so calibrate on windows spanning the welding
+        regimes you will serve — see tests/test_serve.py's
+        shifted-distribution case for the measured envelope."""
         from .models.quantized import (calibrate_activation_absmax,
                                        quantize_transformer)
-        ids = self._encode(jnp.asarray(sample_windows[:8], jnp.float32))
+        if max_samples is not None:
+            sample_windows = sample_windows[:max_samples]
+        ids = self._encode(jnp.asarray(sample_windows, jnp.float32))
         ids = jnp.concatenate(
             [jnp.full((ids.shape[0], 1), self.start_token, ids.dtype), ids],
             axis=1)
@@ -129,12 +139,30 @@ class WeldingQualityPipeline:
         OOD score (reference forward_ood capability)."""
         return self._batched(self._ood, np.asarray(cycles, np.float32))
 
-    def sample_tokens(self, n: int, *, top_k: int | None = None,
-                      seed: int = 0) -> np.ndarray:
-        """Autoregressively sample n latent token sequences from the
-        generation head (KV-cached)."""
-        start = jnp.full((n, 1), self.start_token, jnp.int32)
+    def sample_tokens(self, n: int | None = None, *,
+                      prompt: np.ndarray | None = None,
+                      top_k: int | None = None, seed: int = 0,
+                      num_steps: int | None = None) -> np.ndarray:
+        """Autoregressively sample latent token sequences from the
+        generation head (KV-cached: batched prefill, recompute tail once
+        the context outgrows seq_len).
+
+        Either `n` fresh sequences from the start token, or
+        continuations of `prompt` (N, t) token ids — the prompt is
+        prefixed with the start token, prefilled in one forward, and
+        `num_steps` (default seq_len) tokens are appended. Returns the
+        sampled ids without the start token (prompt included when
+        given)."""
+        if prompt is not None:
+            prompt = jnp.asarray(prompt, jnp.int32)
+            start = jnp.concatenate(
+                [jnp.full((prompt.shape[0], 1), self.start_token, jnp.int32),
+                 prompt], axis=1)
+        else:
+            if n is None:
+                raise ValueError("pass n (fresh samples) or prompt")
+            start = jnp.full((n, 1), self.start_token, jnp.int32)
         out = self.tr_model.generate_kv(
             self.tr_params, start, do_sample=True, top_k=top_k,
-            rng=jax.random.PRNGKey(seed))
+            rng=jax.random.PRNGKey(seed), num_steps=num_steps)
         return np.asarray(out[:, 1:])

@@ -221,6 +221,18 @@ class Trainer:
         if self.logger is not None:
             self.logger.log_metrics(metrics, step=step)
 
+    def _log_ckpt_artifact(self, path: str):
+        """Upload a saved checkpoint when the logger asks for it
+        (reference WandbLogger(log_model=True) / MLflow log_model=True,
+        train_reconstruction_embedding.py:144,150). Loggers without the
+        flag or without log_artifact (CSV) no-op."""
+        if self.logger is None or not getattr(self.logger, "log_model",
+                                              False):
+            return
+        log_artifact = getattr(self.logger, "log_artifact", None)
+        if log_artifact is not None:
+            log_artifact(path, name=os.path.basename(path), type_="model")
+
     def evaluate(self, task: Task, params, state, split, batch_size: int,
                  drop_last: bool, split_name: str = "val"):
         """Per-batch metrics then batch-mean aggregation (the
@@ -398,6 +410,7 @@ class Trainer:
                                                 best_state,
                                                 extra={"epoch": epoch,
                                                        self.monitor: score})
+                                self._log_ckpt_artifact(best_path)
                         else:
                             wait += 1
                             if (self.patience is not None
@@ -408,9 +421,10 @@ class Trainer:
             history.append(row)
 
         if self.checkpoint_dir and self.save_last:
-            task.model.save(os.path.join(self.checkpoint_dir, "last.ckpt"),
-                            params, state, extra={"epoch": epoch},
+            last_path = os.path.join(self.checkpoint_dir, "last.ckpt")
+            task.model.save(last_path, params, state, extra={"epoch": epoch},
                             opt_state=opt_state)
+            self._log_ckpt_artifact(last_path)
         if self.monitor is None or best_score is None:
             best_params, best_state = params, state
         return FitResult(best_params, best_state, best_score, best_epoch,
