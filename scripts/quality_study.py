@@ -1,0 +1,461 @@
+"""Quality-parity study: this framework vs the reference pipeline.
+
+Trains the full reference pipeline twice on an identical synthetic
+ASIMoW CSV — once with this framework's CLI entry points (JAX/TPU
+semantics, here forced onto CPU for a fair same-host comparison), once
+with the reference architectures in torch via scripts/torch_reference.py
+(Lightning-semantics loop; the real Lightning stack is not installed in
+this image) — and writes QUALITY.md with side-by-side metrics.
+
+Also exercises the checkpoint round-trip both ways:
+- JAX-trained VQ-VAE -> exported Lightning .ckpt -> torch twin encodes
+  bit-equal codebook indices (and the twin supplies the torch side's
+  latent datasets).
+- torch-trained VQ-VAE -> Lightning-layout .ckpt -> imported into this
+  framework -> bit-equal indices.
+
+Run:  python scripts/quality_study.py [--out-dir DIR] [--seeds 0 1 2]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# force CPU before any jax device use (sitecustomize pre-imports jax
+# for the TPU tunnel; the torch side is CPU, keep the comparison on one
+# host device class)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path[:0] = [REPO, os.path.join(REPO, "scripts"),
+                os.path.join(REPO, "tests")]
+
+import torch_reference as tref  # noqa: E402
+from torch_twins import (TwinGRU, TwinMLP, TwinTransformer,  # noqa: E402
+                         TwinVQVAEPatch)
+
+from vq_vae_transformer_arc_welding_tpu.cli import (  # noqa: E402
+    train_classification_model as cli_class,
+    train_reconstruction_embedding as cli_recon,
+    train_transformer_mtasks as cli_tr)
+from vq_vae_transformer_arc_welding_tpu.cli.shared import (  # noqa: E402
+    get_latent_dataloader, parse_split_ids)
+from vq_vae_transformer_arc_welding_tpu.data import (  # noqa: E402
+    ASIMoWDataModule, get_val_test_ids)
+from vq_vae_transformer_arc_welding_tpu.data.synthetic import (  # noqa: E402
+    write_synthetic_csv)
+from vq_vae_transformer_arc_welding_tpu.train.torch_import import (  # noqa: E402
+    export_vqvae_to_lightning, load_vqvae_checkpoint)
+
+# ---------------------------------------------------------------------------
+# study configuration (small enough for CPU, big enough to learn)
+
+DATA = dict(n_cycles_per_run=100, extra_train_runs=10, seed=0)
+VQ = dict(hidden=64, k=32, d=8, n_res=2, patch=25, epochs=15, bs=128,
+          lr=1e-3, clip=0.7, dropout=0.1)
+MLP_RAW = dict(n_cycles=1, hidden=64, layers=2, epochs=20, bs=64, lr=1e-3,
+               clip=0.42, dropout=0.032015121309774644)
+GRU_RAW = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64, lr=1e-3,
+               clip=0.42, dropout=0.032015121309774644)
+MLP_LATENT = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64,
+                  lr=1e-3, clip=0.42, dropout=0.032015121309774644)
+TR = dict(n_cycles=5, d_model=64, blocks=2, heads=4, epoch_iter=2,
+          gen_epochs=3, class_epochs=2, finetune_epochs=4, bs=32, lr=1e-3)
+
+
+def _ids():
+    d = get_val_test_ids()
+    return parse_split_ids(d["val_ids"]), parse_split_ids(d["test_ids"])
+
+
+def _asimow_dm(task, n_cycles, bs, data_dir):
+    val_ids, test_ids = _ids()
+    dm = ASIMoWDataModule(task=task, n_cycles=n_cycles, val_data_ids=val_ids,
+                          test_data_ids=test_ids, batch_size=bs,
+                          data_directory_path=data_dir)
+    dm.setup()
+    return dm
+
+
+# ---------------------------------------------------------------------------
+# per-component studies (each returns {"jax": {...}, "torch": {...}})
+
+
+def study_vqvae(data_dir, seed):
+    args = cli_recon.build_parser().parse_args([
+        "--epochs", str(VQ["epochs"]), "--batch-size", str(VQ["bs"]),
+        "--num-embeddings", str(VQ["k"]), "--embedding-dim", str(VQ["d"]),
+        "--hidden-dim", str(VQ["hidden"]), "--n-resblocks", str(VQ["n_res"]),
+        "--patch-size", str(VQ["patch"]), "--dropout-p", str(VQ["dropout"]),
+        "--learning-rate", str(VQ["lr"]),
+        "--clipping-value", str(VQ["clip"]),
+        "--data-dir", data_dir, "--seed", str(seed)])
+    result, test_metrics = cli_recon.main(args)
+    jx = {"val/loss": float(result.best_score),
+          "test/loss": float(test_metrics["test/loss"]),
+          "test/recon_error": float(test_metrics["test/recon_error"])}
+
+    torch.manual_seed(seed)
+    twin = TwinVQVAEPatch(VQ["hidden"], 2, VQ["k"], VQ["d"], VQ["n_res"],
+                          p=VQ["dropout"], patch=VQ["patch"], bn=False)
+    dm = _asimow_dm("reconstruction", 1, VQ["bs"], data_dir)
+    tm = tref.train_vqvae(twin, dm, epochs=VQ["epochs"], lr=VQ["lr"],
+                          clip=VQ["clip"], seed=seed)
+    th = {"val/loss": tm["val/loss"], "test/loss": tm["test/loss"]}
+    return {"jax": jx, "torch": th}, result.best_ckpt_path, twin, dm
+
+
+def roundtrip_checks(jax_ckpt, torch_twin, dm, out_dir):
+    """Both-ways checkpoint round-trip with bit-equal index contracts."""
+    cycles = dm.val.x[:64]  # (N, 200, 2)
+
+    # JAX-trained -> Lightning export -> torch twin
+    from vq_vae_transformer_arc_welding_tpu.models.vqvae_patch import VQVAEPatch
+    model, params, state = VQVAEPatch.load(jax_ckpt)
+    export_path = os.path.join(out_dir, "jax_vqvae_export.ckpt")
+    export_vqvae_to_lightning(model, params, state, export_path)
+    twin2 = TwinVQVAEPatch(model.hidden_dim, model.input_dim,
+                           model.num_embeddings, model.embedding_dim,
+                           model.n_resblocks, p=model.dropout_p,
+                           patch=model.patch_size, bn=model.batch_norm)
+    sd = torch.load(export_path, map_location="cpu",
+                    weights_only=False)["state_dict"]
+    twin2.load_state_dict(sd)
+    twin2.eval()
+    jax_ids = np.asarray(model.encode_indices(
+        params, state, cycles.astype(np.float32)))
+    tw_ids = _twin_indices(twin2, cycles)
+    assert np.array_equal(jax_ids, tw_ids), \
+        "export roundtrip: torch twin indices != JAX indices"
+
+    # torch-trained -> Lightning-layout ckpt -> import into framework
+    import_path = os.path.join(out_dir, "torch_vqvae_trained.ckpt")
+    torch.save({"state_dict": torch_twin.state_dict(),
+                "hyper_parameters": dict(
+                    hidden_dim=VQ["hidden"], input_dim=2,
+                    num_embeddings=VQ["k"], embedding_dim=VQ["d"],
+                    n_resblocks=VQ["n_res"], learning_rate=VQ["lr"],
+                    dropout_p=VQ["dropout"], patch_size=VQ["patch"],
+                    batch_norm=False),
+                "pytorch-lightning_version": "2.0.0"}, import_path)
+    m2, p2, s2 = load_vqvae_checkpoint(import_path)
+    imported_ids = np.asarray(m2.encode_indices(
+        p2, s2, cycles.astype(np.float32)))
+    torch_twin.eval()
+    trained_tw_ids = _twin_indices(torch_twin, cycles)
+    assert np.array_equal(imported_ids, trained_tw_ids), \
+        "import roundtrip: JAX indices != torch-trained twin indices"
+    return {"export_bit_equal": True, "import_bit_equal": True,
+            "n_checked": int(cycles.shape[0])}
+
+
+@torch.no_grad()
+def _twin_indices(twin, cycles) -> np.ndarray:
+    x = torch.from_numpy(np.ascontiguousarray(cycles, np.float32))
+    z_e = twin.encoder(twin.patch_embed(x))
+    _, _, _, _, idx = twin.vector_quantization(z_e)
+    return idx.reshape(cycles.shape[0], -1).numpy()
+
+
+@torch.no_grad()
+def _twin_zq(twin, x_windows, n_cycles) -> np.ndarray:
+    """Pure codebook lookup of the twin's indices (bitwise q, not the
+    straight-through z + (q - z), which differs in float last bits)."""
+    n = x_windows.shape[0]
+    per = torch.from_numpy(np.ascontiguousarray(
+        x_windows.reshape(n * n_cycles, 200, 2), np.float32))
+    z_e = twin.encoder(twin.patch_embed(per))
+    _, _, _, _, idx = twin.vector_quantization(z_e)
+    z_q = twin.vector_quantization.embedding.weight[idx.reshape(-1)]
+    return z_q.reshape(n, n_cycles, -1).numpy()
+
+
+def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
+                     jax_twin=None):
+    """MLP/GRU on raw windows, or MLP on latents when vq_ckpt given."""
+    argv = ["--epochs", str(cfg["epochs"]), "--batch-size", str(cfg["bs"]),
+            "--hidden-dim", str(cfg["hidden"]),
+            "--learning-rate", str(cfg["lr"]),
+            "--clipping-value", str(cfg["clip"]),
+            "--dropout-p", str(cfg["dropout"]),
+            "--n-hidden-layer", str(cfg["layers"]),
+            "--model-name", "MLP" if name != "gru_raw" else "GRU",
+            "--n-cycles", str(cfg["n_cycles"]),
+            "--data-dir", data_dir, "--seed", str(seed)]
+    if vq_ckpt is not None:
+        argv += ["--dataset", "latent_vq_vae", "--vqvae-model", vq_ckpt]
+    args = cli_class.build_parser().parse_args(argv)
+    result, test_metrics = cli_class.main(args)
+    jx = {"val/f1_score_mean": float(result.best_score),
+          "test/f1_score_mean": float(test_metrics["test/f1_score_mean"])}
+
+    torch.manual_seed(seed + 1)
+    val_ids, test_ids = _ids()
+    if vq_ckpt is None:
+        dm = _asimow_dm("classification", cfg["n_cycles"], cfg["bs"],
+                        data_dir)
+        if name == "gru_raw":
+            twin = TwinGRU(in_dim=400, hidden=cfg["hidden"],
+                           n_layers=cfg["layers"], p=cfg["dropout"])
+        else:
+            twin = TwinMLP(input_size=200 * cfg["n_cycles"], in_dim=2,
+                           hidden=cfg["hidden"], n_hidden=cfg["layers"],
+                           p=cfg["dropout"])
+        tdm = dm
+    else:
+        # latent path: same frozen VQ-VAE on both sides; the torch side
+        # encodes through the exported twin and we assert the z_q arrays
+        # are identical (codebook lookups of bit-equal indices)
+        dm, model_conf = get_latent_dataloader(
+            False, cfg["n_cycles"], vq_ckpt, val_ids, test_ids, cfg["bs"],
+            task="classification", data_directory_path=data_dir)
+        dm.setup()
+        # latent.py builds its base module with shuffle=False; match it
+        # so the twin-encoded train latents align row-for-row
+        base = ASIMoWDataModule(
+            task="classification", n_cycles=cfg["n_cycles"],
+            val_data_ids=val_ids, test_data_ids=test_ids,
+            batch_size=cfg["bs"], data_directory_path=data_dir,
+            shuffle=False)
+        base.setup()
+        tw_train = _twin_zq(jax_twin, base.train.x, cfg["n_cycles"])
+        assert np.array_equal(tw_train, dm.train.x), \
+            "torch-twin latents != framework latents (train)"
+        twin = TwinMLP(input_size=cfg["n_cycles"],
+                       in_dim=model_conf["latent_dim"],
+                       hidden=cfg["hidden"], n_hidden=cfg["layers"],
+                       p=cfg["dropout"])
+        tdm = dm
+    tm = tref.train_classifier(twin, tdm, epochs=cfg["epochs"],
+                               lr=cfg["lr"], clip=cfg["clip"], seed=seed)
+    th = {"val/f1_score_mean": tm["val/f1_score_mean"],
+          "test/f1_score_mean": tm["test/f1_score_mean"]}
+    return {"jax": jx, "torch": th}
+
+
+def study_transformer(data_dir, seed, vq_ckpt):
+    args = cli_tr.build_parser().parse_args([
+        "--epoch_iter", str(TR["epoch_iter"]),
+        "--batch-size", str(TR["bs"]), "--n-cycles", str(TR["n_cycles"]),
+        "--d-model", str(TR["d_model"]), "--n-heads", str(TR["heads"]),
+        "--n-blocks", str(TR["blocks"]),
+        "--gen-epochs", str(TR["gen_epochs"]),
+        "--class-epoch", str(TR["class_epochs"]),
+        "--finetune-epochs", str(TR["finetune_epochs"]),
+        "--vqvae-model", vq_ckpt,
+        "--data-dir", data_dir, "--seed", str(seed)])
+    run, results = cli_tr.main(args)
+    jx = {"test/cl/f1_score": float(results["class_test"]["test/cl/f1_score"]),
+          "gen/loss": float(results["gen_test"]["test/loss"])}
+
+    torch.manual_seed(seed + 2)
+    val_ids, test_ids = _ids()
+    gen_dm, conf = get_latent_dataloader(
+        False, TR["n_cycles"], vq_ckpt, val_ids, test_ids, TR["bs"],
+        task="autoregressive_ids", data_directory_path=data_dir)
+    gen_dm.setup()
+    class_dm, _ = get_latent_dataloader(
+        False, TR["n_cycles"], vq_ckpt, val_ids, test_ids, TR["bs"],
+        task="autoregressive_ids_classification",
+        data_directory_path=data_dir)
+    class_dm.setup()
+    seq_len = TR["n_cycles"] * (400 // conf["patch_size"]) + 1
+    twin = TwinTransformer(TR["d_model"], conf["num_embeddings"] + 2,
+                           seq_len, TR["blocks"], TR["heads"])
+    tm = tref.train_transformer_multitask(
+        twin, gen_dm, class_dm, epoch_iter=TR["epoch_iter"],
+        gen_epochs=TR["gen_epochs"], class_epochs=TR["class_epochs"],
+        finetune_epochs=TR["finetune_epochs"], lr=TR["lr"], bs=TR["bs"],
+        seed=seed)
+    th = {"test/cl/f1_score": tm["test/cl/f1_score"],
+          "gen/loss": tm["test/gen/loss"]}
+    return {"jax": jx, "torch": th}
+
+
+# ---------------------------------------------------------------------------
+
+
+def run_study(out_dir, seeds):
+    os.makedirs(out_dir, exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    csv = os.path.join(data_dir, "processed_asimow_dataset.csv")
+    if not os.path.exists(csv):
+        write_synthetic_csv(csv, n_cycles_per_run=DATA["n_cycles_per_run"],
+                            extra_train_runs=DATA["extra_train_runs"],
+                            seed=DATA["seed"])
+    cwd = os.getcwd()
+    os.chdir(out_dir)  # CLI entry points write model_checkpoints/ here
+    all_results = {}
+    try:
+        for seed in seeds:
+            res = {}
+            print(f"=== seed {seed}: VQ-VAE ===", flush=True)
+            res["vqvae"], jax_ckpt, torch_twin, recon_dm = study_vqvae(
+                data_dir, seed)
+            if seed == seeds[0]:
+                res["roundtrip"] = roundtrip_checks(
+                    jax_ckpt, torch_twin, recon_dm, out_dir)
+            # twin of the JAX-trained VQ-VAE for latent materialization
+            from vq_vae_transformer_arc_welding_tpu.models.vqvae_patch import (
+                VQVAEPatch)
+            model, params, state = VQVAEPatch.load(jax_ckpt)
+            export_path = os.path.join(out_dir, f"jax_vq_seed{seed}.ckpt")
+            export_vqvae_to_lightning(model, params, state, export_path)
+            jax_twin = TwinVQVAEPatch(
+                model.hidden_dim, model.input_dim, model.num_embeddings,
+                model.embedding_dim, model.n_resblocks, p=model.dropout_p,
+                patch=model.patch_size, bn=model.batch_norm)
+            jax_twin.load_state_dict(torch.load(
+                export_path, map_location="cpu",
+                weights_only=False)["state_dict"])
+            jax_twin.eval()
+
+            print(f"=== seed {seed}: MLP raw ===", flush=True)
+            res["mlp_raw"] = study_classifier("mlp_raw", MLP_RAW, data_dir,
+                                              seed)
+            print(f"=== seed {seed}: GRU raw ===", flush=True)
+            res["gru_raw"] = study_classifier("gru_raw", GRU_RAW, data_dir,
+                                              seed)
+            print(f"=== seed {seed}: MLP latent ===", flush=True)
+            res["mlp_latent"] = study_classifier(
+                "mlp_latent", MLP_LATENT, data_dir, seed, vq_ckpt=jax_ckpt,
+                jax_twin=jax_twin)
+            print(f"=== seed {seed}: transformer ===", flush=True)
+            res["transformer"] = study_transformer(data_dir, seed, jax_ckpt)
+            all_results[seed] = res
+            with open(os.path.join(out_dir, "results.json"), "w") as f:
+                json.dump(all_results, f, indent=2, default=float)
+    finally:
+        os.chdir(cwd)
+    return all_results
+
+
+def write_quality_md(results, path):
+    seeds = sorted(results)
+
+    def agg(component, side, metric):
+        vals = [results[s][component][side][metric] for s in seeds
+                if metric in results[s][component][side]]
+        return float(np.mean(vals)), float(np.std(vals))
+
+    rows = []
+    specs = [
+        ("VQ-VAE-Patch", "vqvae", "val/loss", "lower"),
+        ("VQ-VAE-Patch", "vqvae", "test/loss", "lower"),
+        ("MLP (raw windows)", "mlp_raw", "val/f1_score_mean", "f1"),
+        ("MLP (raw windows)", "mlp_raw", "test/f1_score_mean", "f1"),
+        ("GRU (raw windows)", "gru_raw", "val/f1_score_mean", "f1"),
+        ("GRU (raw windows)", "gru_raw", "test/f1_score_mean", "f1"),
+        ("MLP (VQ-VAE latents)", "mlp_latent", "val/f1_score_mean", "f1"),
+        ("MLP (VQ-VAE latents)", "mlp_latent", "test/f1_score_mean", "f1"),
+        ("Transformer multitask", "transformer", "test/cl/f1_score", "f1"),
+        ("Transformer multitask", "transformer", "gen/loss", "lower"),
+    ]
+    ok_overall = True
+    for label, comp, metric, kind in specs:
+        jm, js = agg(comp, "jax", metric)
+        tm, ts = agg(comp, "torch", metric)
+        delta = jm - tm
+        if kind == "f1":
+            passed = abs(delta) <= 0.005 + js + ts  # 0.5 F1 pts + seed noise
+            ok = "yes" if passed else "NO"
+            ok_overall &= passed
+        else:
+            ok = "—"
+        rows.append(f"| {label} | `{metric}` | {tm:.4f} ± {ts:.4f} | "
+                    f"{jm:.4f} ± {js:.4f} | {delta:+.4f} | {ok} |")
+
+    rt = results[seeds[0]].get("roundtrip", {})
+    md = f"""# QUALITY — trained-quality parity vs the reference pipeline
+
+Side-by-side training of the full pipeline on an **identical synthetic
+ASIMoW CSV** (schema per `asimow_dataloader.py:240-246`; generator
+`data/synthetic.py`, seed {DATA['seed']},
+{DATA['n_cycles_per_run']} cycles/run, {DATA['extra_train_runs']} extra
+train runs), seeds {seeds}, CPU on this host for both sides.
+
+- **reference side**: the reference architectures in torch
+  (state_dict-compatible twins, `tests/torch_twins.py`) trained with a
+  loop replicating the Lightning semantics the reference relies on —
+  RAdam, weighted sampler, clip, batch-mean F1, checkpoint/early-stop,
+  the minGPT decay split, the alternating multitask schedule
+  (`scripts/torch_reference.py`; pytorch-lightning itself is not
+  installable in this image).
+- **this framework**: the actual CLI entry points
+  (`train_reconstruction_embedding.py`, `train_classification_model.py`,
+  `train_transformer_mtasks.py`) run in-process on the same CSV.
+- Both sides consume bit-identical arrays from this framework's data
+  modules (golden-tested preprocessing parity).
+
+Reproduce: `python scripts/quality_study.py` (~30-60 min CPU).
+
+## Results (mean ± std over {len(seeds)} seeds)
+
+| Component | Metric | reference (torch) | this framework | Δ (ours − ref) | within 0.5 F1 pts |
+|---|---|---|---|---|---|
+{chr(10).join(rows)}
+
+**Contract**: classification F1 within 0.5 pts of the reference
+(`BASELINE.md`). Overall: **{"PASS" if ok_overall else "FAIL"}**
+(F1 deltas compared against 0.005 + cross-side seed noise).
+
+## Checkpoint round-trip (both ways, bit-equal index contract)
+
+| Direction | Check | Result |
+|---|---|---|
+| JAX-trained → exported Lightning .ckpt → torch twin | codebook indices on {rt.get('n_checked', '—')} val cycles | {"bit-equal" if rt.get('export_bit_equal') else "FAILED"} |
+| torch-trained → Lightning-layout .ckpt → imported | codebook indices on {rt.get('n_checked', '—')} val cycles | {"bit-equal" if rt.get('import_bit_equal') else "FAILED"} |
+
+The latent-MLP study additionally asserts that the torch twin's z_q
+latent arrays equal this framework's materialized latents bit-for-bit
+(codebook lookups of bit-equal indices).
+
+## Configs
+
+| Component | Config |
+|---|---|
+| VQ-VAE | hidden {VQ['hidden']}, K {VQ['k']}, D {VQ['d']}, {VQ['n_res']} resblocks, patch {VQ['patch']}, {VQ['epochs']} epochs, bs {VQ['bs']}, clip {VQ['clip']} |
+| MLP raw | n_cycles {MLP_RAW['n_cycles']}, hidden {MLP_RAW['hidden']}, {MLP_RAW['layers']} layers, {MLP_RAW['epochs']} epochs, bs {MLP_RAW['bs']} |
+| GRU raw | n_cycles {GRU_RAW['n_cycles']}, hidden {GRU_RAW['hidden']}, {GRU_RAW['layers']} layers |
+| MLP latent | n_cycles {MLP_LATENT['n_cycles']}, input_dim D*16 |
+| Transformer | d_model {TR['d_model']}, {TR['blocks']} blocks, {TR['heads']} heads, n_cycles {TR['n_cycles']} (seq_len {TR['n_cycles'] * 16 + 1}), {TR['epoch_iter']} iters x ({TR['gen_epochs']} gen + class), finetune {TR['finetune_epochs']}, accumulate 5, clip 0.8 |
+
+Raw per-seed numbers: `results.json` in the study output directory.
+"""
+    with open(path, "w") as f:
+        f.write(md)
+    print(f"wrote {path}")
+    return ok_overall
+
+
+def _shrink_for_smoke():
+    """Minutes-scale flow check: tiny data/epochs, one seed."""
+    DATA.update(n_cycles_per_run=30, extra_train_runs=3)
+    VQ.update(epochs=2, hidden=16, n_res=1, k=16, d=4, bs=32)
+    for cfg in (MLP_RAW, GRU_RAW, MLP_LATENT):
+        cfg.update(epochs=2, hidden=16, layers=1, bs=32)
+    TR.update(epoch_iter=1, gen_epochs=1, class_epochs=1, finetune_epochs=1,
+              d_model=16, blocks=1, heads=2, n_cycles=2, bs=16)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="/tmp/quality_study")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny configs, flow check only")
+    ap.add_argument("--md-out", default=os.path.join(REPO, "QUALITY.md"))
+    a = ap.parse_args()
+    if a.smoke:
+        _shrink_for_smoke()
+    results = run_study(a.out_dir, a.seeds)
+    ok = write_quality_md(results, a.md_out)
+    sys.exit(0 if ok and not a.smoke else (0 if a.smoke else 1))
