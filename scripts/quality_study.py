@@ -67,7 +67,7 @@ GRU_RAW = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64, lr=1e-3,
 MLP_LATENT = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64,
                   lr=1e-3, clip=0.42, dropout=0.032015121309774644)
 TR = dict(n_cycles=5, d_model=64, blocks=2, heads=4, epoch_iter=2,
-          gen_epochs=3, class_epochs=2, finetune_epochs=4, bs=32, lr=1e-3)
+          gen_epochs=5, class_epochs=2, finetune_epochs=10, bs=32, lr=1e-3)
 
 
 def _ids():
@@ -269,6 +269,24 @@ def study_transformer(data_dir, seed, vq_ckpt):
     seq_len = TR["n_cycles"] * (400 // conf["patch_size"]) + 1
     twin = TwinTransformer(TR["d_model"], conf["num_embeddings"] + 2,
                            seq_len, TR["blocks"], TR["heads"])
+    # start the torch side from the SAME initial weights the CLI used
+    # (init is seed-deterministic): per-step math is bit-equal
+    # (tests/test_grad_parity.py::test_transformer_radam_trajectory_
+    # matches_torch), so remaining deltas isolate training stochasticity
+    # (sampling + dropout draws), not init luck
+    from vq_vae_transformer_arc_welding_tpu.models.transformer import (
+        TransformerDecoder)
+    from vq_vae_transformer_arc_welding_tpu.train.torch_import import (
+        export_transformer_to_lightning)
+    init_model = TransformerDecoder(
+        d_model=TR["d_model"], seq_len=seq_len,
+        n_classes=conf["num_embeddings"] + 2, n_head=TR["heads"],
+        n_blocks=TR["blocks"])
+    init_params, _ = init_model.init(seed)
+    exp = os.path.join(os.getcwd(), f"tr_init_seed{seed}.ckpt")
+    export_transformer_to_lightning(init_model, init_params, exp)
+    twin.load_state_dict(torch.load(
+        exp, map_location="cpu", weights_only=False)["state_dict"])
     tm = tref.train_transformer_multitask(
         twin, gen_dm, class_dm, epoch_iter=TR["epoch_iter"],
         gen_epochs=TR["gen_epochs"], class_epochs=TR["class_epochs"],
@@ -393,7 +411,13 @@ train runs), seeds {seeds}, CPU on this host for both sides.
   (`train_reconstruction_embedding.py`, `train_classification_model.py`,
   `train_transformer_mtasks.py`) run in-process on the same CSV.
 - Both sides consume bit-identical arrays from this framework's data
-  modules (golden-tested preprocessing parity).
+  modules (golden-tested preprocessing parity). The transformer leg
+  additionally starts both sides from the SAME initial weights
+  (exported through the checkpoint converter); per-step training math
+  is bit-equal between the stacks
+  (tests/test_grad_parity.py::test_transformer_radam_trajectory_matches_torch,
+  max loss drift ~1e-6 over 30 RAdam+clip+accumulate steps), so
+  residual deltas isolate sampling/dropout stochasticity.
 
 Reproduce: `python scripts/quality_study.py` (~30-60 min CPU).
 

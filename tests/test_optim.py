@@ -66,3 +66,33 @@ def test_radam_rectification_boundary():
     coefficients are f32, leaving ~1e-6/step drift — bounded here."""
     ref, ours = _run_both(steps=12)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-5)
+
+
+def test_weight_decay_skips_out_of_graph_params():
+    """torch.optim skips parameters whose grad is None (out of the loss
+    graph) — no decay, no moments. The transformer's alternating tasks
+    depend on this: during class-only training the lm_head must stay
+    untouched, not decay toward zero (wd=0.1 would pin gen loss at
+    ln(V); round-2 regression)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from vq_vae_transformer_arc_welding_tpu.train.optim import make_radam
+
+    params = {"used_w": jnp.ones((4, 4)), "unused_w": jnp.ones((4, 4)),
+              "bias": jnp.ones((4,))}
+    mask = {"used_w": True, "unused_w": True, "bias": False}
+    tx = make_radam(1e-1, betas=(0.9, 0.95), weight_decay=0.1,
+                    decay_mask=mask, clip_norm=0.8)
+    state = tx.init(params)
+    grads = {"used_w": jnp.full((4, 4), 0.01),
+             "unused_w": jnp.zeros((4, 4)),       # out of graph
+             "bias": jnp.zeros((4,))}
+    p = params
+    for _ in range(20):
+        updates, state = tx.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+    # the unused head is bit-untouched; the used one moved
+    assert jnp.array_equal(p["unused_w"], params["unused_w"])
+    assert jnp.array_equal(p["bias"], params["bias"])
+    assert float(jnp.max(jnp.abs(p["used_w"] - params["used_w"]))) > 1e-3

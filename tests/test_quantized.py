@@ -60,3 +60,43 @@ def test_quantization_is_symmetric_int8(rng):
     # (near-zero outputs have unbounded relative error)
     np.testing.assert_allclose(np.asarray(qdot(x, q)), np.asarray(x @ w),
                                atol=0.5)
+
+
+def test_fused_attn_quant_matches_xla_int8(rng):
+    """The fused Pallas attention+quant path (interpret mode on CPU)
+    must be BIT-IDENTICAL to the XLA int8 path: the kernel computes the
+    same attention math and the same round/clip quantization qdot would
+    apply, just without HBM round-trips."""
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        calibrate_activation_absmax)
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    ids = jnp.asarray(rng.integers(0, 16, (5, 11)), jnp.int32)
+    am = calibrate_activation_absmax(m, params, ids)
+    qp = quantize_transformer(params, act_absmax=am)
+
+    base = np.asarray(quantized_classify(m, qp, ids))
+    for kw in ({}, {"fused_mlp": True}):
+        fused = np.asarray(quantized_classify(m, qp, ids,
+                                              fused_attention=True, **kw))
+        np.testing.assert_array_equal(base, fused), kw
+
+    # f32 label agreement (the serving contract)
+    ref, _ = m.apply(params, None, ids, generate=False)
+    fused = np.asarray(quantized_classify(m, qp, ids, fused_attention=True))
+    np.testing.assert_array_equal(np.asarray(ref.argmax(-1)),
+                                  fused.argmax(-1))
+
+
+def test_fused_attn_quant_requires_calibration(rng):
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=1,
+                           n_head=4)
+    params, _ = m.init(0)
+    qp = quantize_transformer(params)  # dynamic scales, no calibration
+    ids = jnp.asarray(rng.integers(0, 16, (3, 11)), jnp.int32)
+    try:
+        quantized_classify(m, qp, ids, fused_attention=True)
+        assert False, "expected ValueError for missing act scales"
+    except ValueError:
+        pass

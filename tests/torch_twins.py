@@ -127,11 +127,16 @@ class TwinNewGELU(nn.Module):
 
 
 class TwinAttention(nn.Module):
-    def __init__(self, d, seq_len, heads):
+    def __init__(self, d, seq_len, heads, res_dropout=0.1, att_dropout=0.0):
         super().__init__()
         self.c_attn = nn.Linear(d, 3 * d)
         self.c_proj = nn.Linear(d, d)
         self.n_head, self.n_embd = heads, d
+        # dropouts match the reference training semantics
+        # (transformer_block.py:32-33,56,62); identity in eval, so the
+        # eval-parity tests are unaffected (no params in state_dict)
+        self.attn_dropout = nn.Dropout(att_dropout)
+        self.resid_dropout = nn.Dropout(res_dropout)
         # buffer name 'bias' matches the reference state_dict layout
         self.register_buffer("bias", torch.tril(torch.ones(seq_len, seq_len))
                              .view(1, 1, seq_len, seq_len))
@@ -143,24 +148,26 @@ class TwinAttention(nn.Module):
         q, k, v = (z.view(shape).transpose(1, 2) for z in (q, k, v))
         att = (q @ k.transpose(-2, -1)) / math.sqrt(k.size(-1))
         att = att.masked_fill(self.bias[:, :, :t, :t] == 0, float("-inf"))
-        att = torch.softmax(att, dim=-1)
-        return self.c_proj((att @ v).transpose(1, 2).reshape(b, t, c))
+        att = self.attn_dropout(torch.softmax(att, dim=-1))
+        y = (att @ v).transpose(1, 2).reshape(b, t, c)
+        return self.resid_dropout(self.c_proj(y))
 
 
 class TwinBlock(nn.Module):
-    def __init__(self, d, seq_len, heads):
+    def __init__(self, d, seq_len, heads, res_dropout=0.1, att_dropout=0.0):
         super().__init__()
         self.ln_1 = nn.LayerNorm(d)
-        self.attn = TwinAttention(d, seq_len, heads)
+        self.attn = TwinAttention(d, seq_len, heads, res_dropout,
+                                  att_dropout)
         self.ln_2 = nn.LayerNorm(d)
         self.mlp = nn.ModuleDict(dict(
             c_fc=nn.Linear(d, 4 * d), c_proj=nn.Linear(4 * d, d),
-            act=TwinNewGELU()))
+            act=TwinNewGELU(), dropout=nn.Dropout(res_dropout)))
 
     def forward(self, x):
         x = x + self.attn(self.ln_1(x))
         m = self.mlp
-        return x + m.c_proj(m.act(m.c_fc(self.ln_2(x))))
+        return x + m.dropout(m.c_proj(m.act(m.c_fc(self.ln_2(x)))))
 
 
 class TwinTransformer(nn.Module):

@@ -59,6 +59,19 @@ def qdot(x: jnp.ndarray, q: QLinear) -> jnp.ndarray:
     return y
 
 
+def qdot_prequantized(x_int8: jnp.ndarray, q: QLinear) -> jnp.ndarray:
+    """Like qdot but for activations ALREADY quantized to int8 with
+    q.act_scale (e.g. by the fused attention kernel,
+    ops/pallas_attn_quant.py). Skips the quantize elementwise pass."""
+    o = jax.lax.dot_general(
+        x_int8, q.w_int8, (((x_int8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = o.astype(jnp.float32) * (q.scale / q.act_scale)
+    if q.bias is not None:
+        y = y + q.bias
+    return y
+
+
 def quantize_transformer(params, act_absmax: dict | None = None) -> dict:
     """Quantize all Linear weights of a TransformerDecoder param tree
     (list-of-blocks layout). `act_absmax` (from
@@ -166,9 +179,52 @@ def quantized_backbone(model, qparams, x_ids):
     return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
 
 
-def quantized_classify(model, qparams, x_ids):
+def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False):
+    """Backbone with the fused Pallas attention+quant kernel
+    (ops/pallas_attn_quant.py): scores never touch HBM and the
+    attention output lands pre-quantized for the int8 proj matmul.
+    Requires calibrated activation scales (act_absmax at quantize time).
+    Round-2 measurement at the bench shape (b=48): 11.5 -> 8.6 ms.
+
+    fused_mlp additionally routes the MLP through ops/pallas_mlp_quant
+    — measured ~0.6 ms SLOWER than XLA's fused int8 MLP chain at the
+    bench shape (XLA already keeps the quant/gelu elementwise fused and
+    overlaps the two matmuls better), so it stays opt-in for other
+    shapes."""
+    from ..ops.norm import layer_norm
+    from ..ops.pallas_attn_quant import fused_causal_attention_quant
+    from ..ops.activations import new_gelu
+
+    t = x_ids.shape[1]
+    x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
+    for blk in qparams["blocks"]:
+        if blk["c_proj"].act_scale is None:
+            raise ValueError("fused path needs calibrated act scales")
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        qkv = qdot(h, blk["c_attn"])                  # (B, T, 3C) f32
+        y8 = fused_causal_attention_quant(
+            qkv, blk["c_proj"].act_scale, n_head=model.n_head)
+        x = x + qdot_prequantized(y8, blk["c_proj"])
+        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        if fused_mlp:
+            from ..ops.pallas_mlp_quant import fused_mlp_quant
+            fc, mp = blk["c_fc"], blk["m_proj"]
+            x = x + fused_mlp_quant(h, fc.w_int8, fc.scale, fc.bias,
+                                    fc.act_scale, mp.w_int8, mp.scale,
+                                    mp.bias, mp.act_scale)
+        else:
+            x = x + qdot(new_gelu(qdot(h, blk["c_fc"])), blk["m_proj"])
+    return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
+
+
+def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
+                       **fused_kw):
     from ..ops.activations import gelu
-    x = quantized_backbone(model, qparams, x_ids)
+    if fused_attention:
+        x = quantized_backbone_fused(model, qparams, x_ids, **fused_kw)
+    else:
+        assert not fused_kw, "fused_* options need fused_attention=True"
+        x = quantized_backbone(model, qparams, x_ids)
     h = qdot(x, qparams["class_head"]["l1"])
     h = gelu(h.squeeze(-1))
     return qdot(h, qparams["class_head"]["l2"])

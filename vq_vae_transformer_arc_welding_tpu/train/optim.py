@@ -66,6 +66,48 @@ def scale_by_torch_radam(b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init, update)
 
 
+def add_decayed_weights_where_grad(
+        weight_decay: float, mask=None) -> optax.GradientTransformation:
+    """L2-to-gradient weight decay that SKIPS parameters whose incoming
+    gradient tensor is all-zero.
+
+    torch semantics: a parameter outside the loss graph has grad=None
+    and torch.optim.RAdam skips it entirely — no decay, no moment
+    update. The reference's alternating-task transformer relies on this
+    (the inactive lm_head/class_head gets no grads during the other
+    task's stages; that's also why it needs DDP
+    find_unused_parameters=True, train_transformer_mtasks.py:31).
+    Plain optax.add_decayed_weights would decay the inactive head every
+    step (wd=0.1 -> the head collapses toward zero over a stage, gen
+    loss pinned at ln(V)) — found via the round-2 quality study.
+
+    In jax, out-of-graph parameters surface as exact-zero gradient
+    tensors, so `any(g != 0)` is the None-test. An in-graph parameter
+    with a numerically all-zero gradient (measure-zero event for float
+    losses) would also skip its decay that step — torch would decay it;
+    accepted deviation."""
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("add_decayed_weights_where_grad needs params")
+        mask_tree = (mask if mask is not None
+                     else jax.tree_util.tree_map(lambda _: True, updates))
+
+        def leaf(g, p, m):
+            if not m:
+                return g
+            in_graph = jnp.any(g != 0).astype(g.dtype)
+            return g + weight_decay * in_graph * p
+
+        return (jax.tree_util.tree_map(leaf, updates, params, mask_tree),
+                state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_radam(learning_rate: float, *, betas=(0.9, 0.999), eps: float = 1e-8,
                weight_decay: float = 0.0, decay_mask=None,
                clip_norm: float | None = None):
@@ -73,7 +115,8 @@ def make_radam(learning_rate: float, *, betas=(0.9, 0.999), eps: float = 1e-8,
     if clip_norm is not None and clip_norm > 0:
         parts.append(optax.clip_by_global_norm(clip_norm))
     if weight_decay:
-        parts.append(optax.add_decayed_weights(weight_decay, mask=decay_mask))
+        parts.append(add_decayed_weights_where_grad(weight_decay,
+                                                    mask=decay_mask))
     parts.append(scale_by_torch_radam(b1=betas[0], b2=betas[1], eps=eps))
     parts.append(optax.scale(-learning_rate))
     return optax.chain(*parts)
