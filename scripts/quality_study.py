@@ -66,8 +66,8 @@ GRU_RAW = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64, lr=1e-3,
                clip=0.42, dropout=0.032015121309774644)
 MLP_LATENT = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64,
                   lr=1e-3, clip=0.42, dropout=0.032015121309774644)
-TR = dict(n_cycles=5, d_model=64, blocks=2, heads=4, epoch_iter=2,
-          gen_epochs=5, class_epochs=2, finetune_epochs=10, bs=32, lr=1e-3)
+TR = dict(n_cycles=5, d_model=128, blocks=2, heads=4, epoch_iter=2,
+          gen_epochs=5, class_epochs=3, finetune_epochs=15, bs=32, lr=1e-3)
 
 
 def _ids():

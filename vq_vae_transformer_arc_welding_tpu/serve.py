@@ -110,7 +110,10 @@ class WeldingQualityPipeline:
                 raise RuntimeError(
                     "precision='int8' requires calibrate(sample) first")
             from .models.quantized import quantized_classify
-            logits = quantized_classify(self.tr_model, self.qparams, ids)
+            # calibrated scales enable the fused Pallas attention+quant
+            # kernel (ops/pallas_attn_quant.py) — the bench-winning path
+            logits = quantized_classify(self.tr_model, self.qparams, ids,
+                                        fused_attention=True)
         else:
             logits, _ = self.tr_model.apply(self.tr_params, None, ids,
                                             generate=False)
