@@ -100,3 +100,51 @@ def test_fused_attn_quant_requires_calibration(rng):
         assert False, "expected ValueError for missing act scales"
     except ValueError:
         pass
+
+
+def test_quantized_kv_sampler_consistency(rng):
+    """Int8 KV-cached sampling machinery: per-token cached logits over a
+    FORCED sequence must match the batched quantized full forward at
+    every position (same calibrated scales -> same quantization), and
+    the free-running sampler must produce valid sequences for prompts
+    of any length, overrun past seq_len included."""
+    import jax
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        _q_prefill, _q_token_step, calibrate_activation_absmax,
+        quantized_generate_kv, quantized_lm_logits)
+
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=10, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    ids = jnp.asarray(rng.integers(0, 16, (4, 10)), jnp.int32)
+    am = calibrate_activation_absmax(m, params, ids)
+    qp = quantize_transformer(params, act_absmax=am)
+
+    # forced-sequence equivalence: prefill 3 tokens, step through the
+    # rest, compare each step's logits to the full-recompute forward
+    full = np.asarray(quantized_lm_logits(m, qp, ids))
+    hd = m.d_model // m.n_head
+    caches = [(jnp.zeros((4, m.n_head, m.seq_len, hd)),
+               jnp.zeros((4, m.n_head, m.seq_len, hd)))
+              for _ in qp["blocks"]]
+    logits, caches = _q_prefill(m, qp, ids[:, :3], caches)
+    np.testing.assert_allclose(np.asarray(logits), full[:, 2],
+                               rtol=1e-4, atol=1e-4)
+    for pos in range(3, 10):
+        logits, caches = _q_token_step(m, qp, ids[:, pos], pos, caches)
+        np.testing.assert_allclose(np.asarray(logits), full[:, pos],
+                                   rtol=1e-4, atol=1e-4)
+        assert (np.asarray(logits).argmax(-1) == full[:, pos].argmax(-1)).all()
+
+    # free-running sampler: shapes/validity incl. cropping overrun
+    start = jnp.full((2, 1), 16, jnp.int32)
+    out = quantized_generate_kv(m, qp, start, do_sample=True, top_k=5,
+                                rng=jax.random.PRNGKey(1), num_steps=15)
+    assert out.shape == (2, 16)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o < 18).all()
+
+    prompt = jnp.asarray(rng.integers(0, 16, (2, 4)), jnp.int32)
+    out2 = quantized_generate_kv(m, qp, prompt, do_sample=False)
+    assert out2.shape == (2, 4 + 10)
+    np.testing.assert_array_equal(np.asarray(out2[:, :4]), np.asarray(prompt))

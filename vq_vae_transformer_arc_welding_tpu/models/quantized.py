@@ -233,3 +233,144 @@ def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
 def quantized_lm_logits(model, qparams, x_ids):
     x = quantized_backbone(model, qparams, x_ids)
     return qdot(x, qparams["lm_head"])
+
+
+# -- int8 KV-cached autoregressive sampling ---------------------------------
+#
+# For full-int8 deployments: same control flow as the f32 generate_kv
+# with every Linear on the int8 MXU and weights stored int8 (4x less
+# HBM for the model). Measured at the bench config (d512/8 blocks,
+# batch 16, 320 steps): NO latency win over f32 (1.00x) — the KV loop
+# is latency-bound, not weight-bandwidth-bound — so serve.sample_tokens
+# keeps the f32 sampler (reference-output-equal); use this when weight
+# memory is the constraint.
+
+
+def _q_attn_cached(model, blk, x_tok, k_cache, v_cache, pos):
+    """One-token attention against (B, H, T, D) caches with int8
+    projections (mirrors TransformerDecoder._attn_cached)."""
+    from ..ops.attention import merge_heads, split_heads
+
+    qkv = qdot(x_tok, blk["c_attn"])                  # (B, 1, 3C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (split_heads(t, model.n_head) for t in (q, k, v))
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+    d = q.shape[-1]
+    att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                     preferred_element_type=jnp.float32) / jnp.sqrt(
+        jnp.asarray(d, jnp.float32))
+    valid = jnp.arange(k_cache.shape[2])[None, None, None, :] <= pos
+    att = jax.nn.softmax(jnp.where(valid, att, -jnp.inf), axis=-1)
+    y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache,
+                   preferred_element_type=jnp.float32)
+    return qdot(merge_heads(y), blk["c_proj"]), k_cache, v_cache
+
+
+def _q_token_step(model, qparams, tok, pos, caches):
+    from ..ops.activations import new_gelu
+    from ..ops.norm import layer_norm
+
+    x = jnp.take(qparams["tok_emb"], tok, axis=0)[:, None, :] \
+        + jnp.take(model.pe, pos, axis=0)[None, None, :]
+    new_caches = []
+    for blk, (k_c, v_c) in zip(qparams["blocks"], caches):
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        a, k_c, v_c = _q_attn_cached(model, blk, h, k_c, v_c, pos)
+        x = x + a
+        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        x = x + qdot(new_gelu(qdot(h, blk["c_fc"])), blk["m_proj"])
+        new_caches.append((k_c, v_c))
+    x = layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
+    return qdot(x[:, 0], qparams["lm_head"]), new_caches
+
+
+def _q_prefill(model, qparams, x_ids, caches):
+    """Batched single-forward prompt prefill with int8 matmuls,
+    writing every block's K/V (mirrors TransformerDecoder._prefill)."""
+    from ..ops.activations import new_gelu
+    from ..ops.attention import (causal_attention_core, merge_heads,
+                                 split_heads)
+    from ..ops.norm import layer_norm
+
+    b, t0 = x_ids.shape
+    x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t0]
+    new_caches = []
+    for blk, (k_c, v_c) in zip(qparams["blocks"], caches):
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        qkv = qdot(h, blk["c_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (split_heads(t, model.n_head) for t in (q, k, v))
+        k_c = jax.lax.dynamic_update_slice(k_c, k, (0, 0, 0, 0))
+        v_c = jax.lax.dynamic_update_slice(v_c, v, (0, 0, 0, 0))
+        y = merge_heads(causal_attention_core(q, k, v))
+        x = x + qdot(y, blk["c_proj"])
+        h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
+        x = x + qdot(new_gelu(qdot(h, blk["c_fc"])), blk["m_proj"])
+        new_caches.append((k_c, v_c))
+    x = layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
+    return qdot(x[:, -1], qparams["lm_head"]), new_caches
+
+
+def quantized_generate_kv(model, qparams, x_ids, *, do_sample: bool = False,
+                          top_k: int | None = None, rng=None,
+                          num_steps: int | None = None):
+    """Int8 KV-cached sampling, same control flow as
+    TransformerDecoder.generate_kv (batched prefill; KV steps while the
+    context fits seq_len; full-recompute tail once the reference's
+    context cropping kicks in) with every Linear on the int8 MXU.
+
+    Self-consistency contract (tests): greedy output equals a greedy
+    scan over quantized_lm_logits full-recompute forwards."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    steps = model.seq_len if num_steps is None else num_steps
+    b, t0 = x_ids.shape
+    total = t0 + steps
+    keys = jax.random.split(rng, steps)
+    buf = jnp.concatenate(
+        [x_ids, jnp.zeros((b, steps), x_ids.dtype)], axis=1)
+
+    def window_logits(window):
+        return quantized_lm_logits(model, qparams, window)
+
+    n_kv = max(0, min(steps, model.seq_len - t0 + 1))
+    if n_kv == 0:
+        return model._recompute_scan(None, buf, t0, keys, total=total,
+                                     do_sample=do_sample, top_k=top_k,
+                                     logits_fn=window_logits)
+
+    cache_len = model.seq_len
+    hd = model.d_model // model.n_head
+    caches = [(jnp.zeros((b, model.n_head, cache_len, hd)),
+               jnp.zeros((b, model.n_head, cache_len, hd)))
+              for _ in qparams["blocks"]]
+    logits, caches = _q_prefill(model, qparams, x_ids, caches)
+
+    flat = []
+    for k_c, v_c in caches:
+        flat.extend([k_c, v_c])
+
+    def step(carry, key):
+        buf, cur, logits, *flat_caches = carry
+        caches = [(flat_caches[2 * i], flat_caches[2 * i + 1])
+                  for i in range(model.n_blocks)]
+        nxt = model._sample_from_logits(logits, key, do_sample, top_k)
+        buf = jax.lax.dynamic_update_slice(
+            buf, nxt[:, None].astype(buf.dtype), (0, cur))
+        new_logits, caches = _q_token_step(
+            model, qparams, nxt.astype(jnp.int32),
+            jnp.minimum(cur, cache_len - 1), caches)
+        flat2 = []
+        for k_c, v_c in caches:
+            flat2.extend([k_c, v_c])
+        return (buf, cur + 1, new_logits, *flat2), None
+
+    carry = (buf, jnp.asarray(t0), logits, *flat)
+    carry, _ = jax.lax.scan(step, carry, keys[:n_kv])
+    buf = carry[0]
+    if steps > n_kv:
+        buf = model._recompute_scan(None, buf, t0 + n_kv, keys[n_kv:],
+                                    total=total, do_sample=do_sample,
+                                    top_k=top_k, logits_fn=window_logits)
+    return buf

@@ -257,21 +257,28 @@ class TransformerDecoder(Module):
         return jnp.argmax(last, axis=-1)
 
     def _recompute_scan(self, params, buf, cur0: int, keys, *, total: int,
-                        do_sample: bool, top_k: int | None):
+                        do_sample: bool, top_k: int | None,
+                        logits_fn=None):
         """Full-forward-per-step sampling over the buffer, starting at
         position cur0 — the reference's context-cropping loop
         (transformer_decoder.py:203-224). The context window is a
         seq_len-sized dynamic slice of the growing buffer; garbage tail
         positions are harmless because causal attention never lets them
-        reach the query at the current length."""
+        reach the query at the current length.
+
+        logits_fn(window) overrides the forward (e.g. the int8 serving
+        forward, models/quantized.py); defaults to the f32 apply."""
         b = buf.shape[0]
+        if logits_fn is None:
+            def logits_fn(window):
+                return self.apply(params, None, window, train=False)[0]
 
         def step(carry, key):
             buf, cur = carry
             start = jnp.maximum(0, cur - self.seq_len)
             window = jax.lax.dynamic_slice(
                 buf, (0, start), (b, min(self.seq_len, total)))
-            logits, _ = self.apply(params, None, window, train=False)
+            logits = logits_fn(window)
             pos = jnp.minimum(cur, self.seq_len) - 1
             last = jax.lax.dynamic_slice(
                 logits, (0, pos, 0), (b, 1, logits.shape[-1]))[:, 0]

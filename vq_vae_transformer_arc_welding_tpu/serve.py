@@ -165,6 +165,12 @@ class WeldingQualityPipeline:
             if n is None:
                 raise ValueError("pass n (fresh samples) or prompt")
             start = jnp.full((n, 1), self.start_token, jnp.int32)
+        # sampling stays f32 even in int8 pipelines: the KV loop is
+        # latency-bound, not weight-bandwidth-bound (int8 weights
+        # measured 1.00x at the bench config), and f32 keeps sampling
+        # output-equal to the reference. models/quantized.py's
+        # quantized_generate_kv exists for full-int8 deployments where
+        # the 4x weight-memory reduction matters more.
         out = self.tr_model.generate_kv(
             self.tr_params, start, do_sample=True, top_k=top_k,
             rng=jax.random.PRNGKey(seed), num_steps=num_steps)
