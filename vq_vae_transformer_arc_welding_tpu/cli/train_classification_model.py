@@ -50,6 +50,11 @@ def build_parser():
     a("--data-dir", type=str, default=None,
       help="Data root override (defaults to .env-driven path)")
     a("--seed", type=int, default=0, help="Model init / sampling seed")
+    a("--window-mode", type=str, default="materialize",
+      choices=("materialize", "ondevice"),
+      help="'ondevice' keeps packed cycles resident and gathers "
+           "n-cycle windows inside the jitted step (bit-identical "
+           "batches, ~n_cycles-times less memory)")
     return parser
 
 
@@ -84,7 +89,8 @@ def main(hparams):
         data_module = ASIMoWDataModule(
             task="classification", batch_size=hparams.batch_size,
             n_cycles=n_cycles, val_data_ids=val_ids, test_data_ids=test_ids,
-            data_directory_path=hparams.data_dir)
+            data_directory_path=hparams.data_dir,
+            window_mode=getattr(hparams, "window_mode", "materialize"))
         if classification_model == "MLP":
             seq_len, input_dim = 200 * n_cycles, 2
         elif classification_model == "GRU":

@@ -129,10 +129,18 @@ class ASIMoWDataModule:
                  batch_size: int = 32, shuffle_val_test: bool = True,
                  window_size: int = CYCLE_LEN, window_offset: int = 0,
                  data_directory_path: str | None = None, seed: int = 42,
-                 shuffle: bool = True, cache: bool = True):
+                 shuffle: bool = True, cache: bool = True,
+                 window_mode: str = "materialize"):
+        """window_mode: 'materialize' copies every n-cycle window into a
+        dense array (reference semantics, seq_len-fold memory);
+        'ondevice' keeps packed cycles once and gathers windows inside
+        the jitted step (data/windowed.py) — bit-identical batches,
+        ~n_cycles-times less host and HBM footprint."""
         if task not in ("classification", "classification_ids",
                         "reconstruction"):
             raise NotImplementedError(f"Task {task} not implemented")
+        if window_mode not in ("materialize", "ondevice"):
+            raise ValueError(f"window_mode {window_mode!r}")
         self.task = task
         self.n_cycles = n_cycles
         self.val_ids = [DataSplitId(*v) if not isinstance(v, DataSplitId)
@@ -147,6 +155,7 @@ class ASIMoWDataModule:
         self.seed = seed
         self.shuffle = shuffle
         self.cache = cache
+        self.window_mode = window_mode
         self.scaler = StandardScaler()
         self.train = self.val = self.test = None
         self.train_sampling = None
@@ -161,6 +170,8 @@ class ASIMoWDataModule:
 
     def _prepare_split(self, vi, labels, rng, ds_type: str):
         x, y = vi, labels
+        if self.n_cycles > 1 and self.window_mode == "ondevice":
+            return self._prepare_split_ondevice(vi, labels, rng, ds_type)
         if self.n_cycles > 1:
             x, y = create_sequence_windows(x, y, self.n_cycles,
                                            self.window_size,
@@ -173,6 +184,24 @@ class ASIMoWDataModule:
         if self.shuffle:
             x, y = shuffle_arrays(rng, x, y)
         return x, y
+
+    def _prepare_split_ondevice(self, vi, labels, rng, ds_type: str):
+        """Windowed view instead of materialized windows: same gather,
+        same window-multiset scaler stats, same shuffle rng stream —
+        bit-identical batch values at ~n_cycles-times less memory."""
+        from .windowed import WindowedArray, fit_scaler_on_windows
+
+        cycles = np.ascontiguousarray(
+            vi[:, self.window_offset:self.window_offset + self.window_size, :])
+        n = cycles.shape[0] - self.n_cycles
+        starts = np.arange(n, dtype=np.int32)
+        y = labels[self.n_cycles:].copy()
+        if ds_type == "train":
+            fit_scaler_on_windows(self.scaler, cycles, self.n_cycles)
+        cycles = self.scaler.transform(cycles)
+        if self.shuffle:
+            starts, y = shuffle_arrays(rng, starts, y)
+        return WindowedArray(cycles, starts, self.n_cycles), y
 
     def setup(self, stage: str = "fit"):
         vi, labels, exp, run = _load_cached(self.data_dir, cache=self.cache)

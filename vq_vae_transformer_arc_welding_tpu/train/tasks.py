@@ -26,6 +26,15 @@ class Task:
         raise NotImplementedError
 
 
+def _as_device_f32(x):
+    """jnp.asarray that passes WindowedArray views through (the window
+    gather then happens inside the jitted step — data/windowed.py)."""
+    from ..data.windowed import WindowedArray
+    if isinstance(x, WindowedArray):
+        return x.astype(jnp.float32)
+    return jnp.asarray(x, jnp.float32)
+
+
 class ReconstructionTask(Task):
     """VQ-VAE training (reference autencoder_lightning_base.py:80-120)."""
 
@@ -33,7 +42,7 @@ class ReconstructionTask(Task):
         self.model = model
 
     def batch_arrays(self, split):
-        return (jnp.asarray(split.x, jnp.float32),)
+        return (_as_device_f32(split.x),)
 
     def loss_and_metrics(self, params, state, batch, *, train, rng):
         (x,) = batch
@@ -53,10 +62,11 @@ class ClassificationTask(Task):
         self.ids_input = ids_input
 
     def batch_arrays(self, split):
-        x = jnp.asarray(split.x,
-                        jnp.int32 if self.ids_input else jnp.float32)
         if self.ids_input:
+            x = jnp.asarray(split.x, jnp.int32)
             x = x.reshape(x.shape[0], -1)
+        else:
+            x = _as_device_f32(split.x)
         return x, jnp.asarray(split.y, jnp.int32)
 
     def loss_and_metrics(self, params, state, batch, *, train, rng):
