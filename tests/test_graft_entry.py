@@ -54,3 +54,17 @@ def test_dryrun_multichip_odd_device_count():
         f"dryrun_multichip(2) failed:\nstdout:\n{proc.stdout}\n"
         f"stderr:\n{proc.stderr}")
     assert "dryrun_multichip OK on 2 devices" in proc.stdout
+
+
+def test_bench_multichip_harness():
+    """The multi-chip scaling harness must run at small scale and report
+    mesh-invariant losses (guards the driver-facing sharded step the
+    same way test_dryrun_* guards the entry point)."""
+    proc = subprocess.run(
+        [sys.executable, "bench_multichip.py", "--global-batch", "16",
+         "--steps", "2"], cwd=REPO, env=_driver_env(),
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"bench_multichip failed:\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr}")
+    assert '"loss_invariant": true' in proc.stdout
