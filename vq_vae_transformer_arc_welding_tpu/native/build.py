@@ -7,7 +7,8 @@ import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "csv_parser.cpp")
+_SRCS = [os.path.join(_HERE, "csv_parser.cpp"),
+         os.path.join(_HERE, "batch_gather.cpp")]
 _LIB = os.path.join(_HERE, "libarcweld_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -17,12 +18,13 @@ _tried = False
 def build_native_lib(force: bool = False) -> str | None:
     """Compile the shared library if needed. Returns path or None."""
     if not force and os.path.exists(_LIB) \
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            and os.path.getmtime(_LIB) >= max(os.path.getmtime(s)
+                                              for s in _SRCS):
         return _LIB
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB],
+             "-pthread", *_SRCS, "-o", _LIB],
             check=True, capture_output=True, timeout=120)
         return _LIB
     except (OSError, subprocess.SubprocessError):
@@ -54,5 +56,13 @@ def load_native_lib():
             ctypes.c_int64,
         ]
         lib.asimow_parse.restype = ctypes.c_int64
+        lib.gather_rows_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.gather_rows_f32.restype = ctypes.c_int64
         _lib = lib
         return _lib

@@ -20,6 +20,7 @@ restructured TPU-first:
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass, field
@@ -62,7 +63,8 @@ class Trainer:
                  metric_prefix: str = "", epoch_metric_hook=None,
                  verbose: bool = True, mesh=None, param_rules=None,
                  profile_dir: str | None = None,
-                 terminate_on_nan: bool = False):
+                 terminate_on_nan: bool = False,
+                 streaming: bool = False):
         self.max_epochs = max_epochs
         self.logger = logger
         self.monitor = monitor
@@ -88,6 +90,14 @@ class Trainer:
         # abort the run on a non-finite training loss instead of
         # silently corrupting the checkpoint chain
         self.terminate_on_nan = terminate_on_nan
+        # streaming: train data stays on HOST (e.g. a data/streaming.py
+        # mmap for beyond-HBM datasets); each accumulation group is
+        # gathered on host (native C++ row gather) and device_put per
+        # jitted group step. Sampling streams are identical to the
+        # resident path (bitwise-equal losses, tests/test_streaming.py).
+        self.streaming = streaming
+        if streaming and mesh is not None:
+            raise NotImplementedError("streaming + mesh is not supported")
         self._step_counter = 0
         self._eval_cache: dict = {}
         self._train_cache: dict = {}
@@ -162,6 +172,78 @@ class Trainer:
             return params, state, opt_state, losses.reshape(-1), flat_metrics
 
         return jax.jit(epoch, donate_argnums=(0, 1, 2))
+
+    def _make_train_epoch_streaming(self, task: Task, tx, train_split,
+                                    batch_size: int):
+        """Host-loop epoch for streaming datasets: same group math and
+        rng sequence as the compiled scan epoch (bitwise-equal losses),
+        but each group's batches are host-gathered (split.x[idx] — a
+        native threaded mmap gather for data/streaming.py datasets) and
+        device_put on the fly instead of living in HBM."""
+        from ..data.datasets import ArraySplit
+
+        accum = self.accum
+
+        def micro_loss(params, state, batch, rng):
+            loss, metrics, new_state = task.loss_and_metrics(
+                params, state, batch, train=True, rng=rng)
+            return loss, (metrics, new_state)
+
+        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def group_step(params, state, opt_state, batches, sub):
+            if accum == 1:
+                batch = jax.tree_util.tree_map(lambda a: a[0], batches)
+                (loss, (metrics, state)), grads = grad_fn(
+                    params, state, batch, sub)
+                losses = loss[None]
+                metrics = jax.tree_util.tree_map(lambda m: m[None], metrics)
+            else:
+                def micro(c, batch):
+                    g_acc, state, key = c
+                    key, k2 = jax.random.split(key)
+                    (loss, (metrics, new_state)), grads = grad_fn(
+                        params, state, batch, k2)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                    return (g_acc, new_state, key), (loss, metrics)
+
+                zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (g_sum, state, _), (losses, metrics) = jax.lax.scan(
+                    micro, (zero, state, sub), batches)
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, state, opt_state, losses, metrics
+
+        def host_gather_group(idx2d):
+            flat = np.asarray(idx2d).reshape(-1)
+            mini = ArraySplit(
+                train_split.x[flat],
+                None if train_split.y is None else train_split.y[flat],
+                None if getattr(train_split, "cond", None) is None
+                else train_split.cond[flat])
+            arrs = task.batch_arrays(mini)
+            return tuple(a.reshape((accum, batch_size) + a.shape[1:])
+                         for a in arrs)
+
+        def epoch(params, state, opt_state, idx_groups, rng):
+            idx_groups = np.asarray(idx_groups)
+            all_losses, all_metrics = [], []
+            for g in range(idx_groups.shape[0]):
+                rng, sub = jax.random.split(rng)
+                batches = host_gather_group(idx_groups[g])
+                params, state, opt_state, losses, metrics = group_step(
+                    params, state, opt_state, batches, sub)
+                all_losses.append(losses)
+                all_metrics.append(metrics)
+            losses = jnp.concatenate(all_losses)
+            metrics = jax.tree_util.tree_map(
+                lambda *ms: jnp.concatenate([m.reshape(-1) for m in ms]),
+                *all_metrics)
+            return params, state, opt_state, losses, metrics
+
+        return epoch
 
     def _make_eval(self, task: Task, arrays):
         def eval_batches(params, state, idx_batches):
@@ -296,17 +378,19 @@ class Trainer:
             params, state, opt_state = restore((params, state), opt_template)
             start_epoch = int(extra.get("epoch", -1)) + 1
         train_split = datamodule.train
-        arrays = task.batch_arrays(train_split)
         batch_size = datamodule.batch_size
         weights = (datamodule.train_sampling
                    if task.weighted_sampler else None)
         drop_last = getattr(datamodule, "drop_last", False)
 
-        params, state, arrays, idx3_sharding, _ = self._place(
-            params, state, arrays)
-        if (idx3_sharding is not None
-                and batch_size % self.mesh.shape["data"]):
-            idx3_sharding = None  # uneven batch: run replicated
+        idx3_sharding = None
+        if not self.streaming:
+            arrays = task.batch_arrays(train_split)
+            params, state, arrays, idx3_sharding, _ = self._place(
+                params, state, arrays)
+            if (idx3_sharding is not None
+                    and batch_size % self.mesh.shape["data"]):
+                idx3_sharding = None  # uneven batch: run replicated
         if opt_state is None:
             opt_state = tx.init(params)
         # cache the compiled epoch per (task, datamodule, optimizer):
@@ -316,9 +400,12 @@ class Trainer:
         # gets its own compiled epoch (the closure captures tx).
         tc_key = (id(task), id(datamodule), id(tx), batch_size)
         if tc_key not in self._train_cache:
-            self._train_cache[tc_key] = (
-                self._make_train_epoch(task, tx, arrays, batch_size),
-                task, datamodule, tx)
+            epoch_fn = (self._make_train_epoch_streaming(
+                            task, tx, train_split, batch_size)
+                        if self.streaming
+                        else self._make_train_epoch(task, tx, arrays,
+                                                    batch_size))
+            self._train_cache[tc_key] = (epoch_fn, task, datamodule, tx)
         epoch_fn = self._train_cache[tc_key][0]
 
         best_score, best_epoch = None, -1
