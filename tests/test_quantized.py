@@ -77,7 +77,7 @@ def test_fused_attn_quant_matches_xla_int8(rng):
     qp = quantize_transformer(params, act_absmax=am)
 
     base = np.asarray(quantized_classify(m, qp, ids))
-    for kw in ({}, {"fused_mlp": True}):
+    for kw in ({}, {"fused_mlp": True}, {"fused_qkv": False}):
         fused = np.asarray(quantized_classify(m, qp, ids,
                                               fused_attention=True, **kw))
         np.testing.assert_array_equal(base, fused), kw

@@ -179,7 +179,8 @@ def quantized_backbone(model, qparams, x_ids):
     return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
 
 
-def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False):
+def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,
+                             fused_qkv=True):
     """Backbone with the fused Pallas attention+quant kernel
     (ops/pallas_attn_quant.py): scores never touch HBM and the
     attention output lands pre-quantized for the int8 proj matmul.
@@ -190,9 +191,15 @@ def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False):
     — measured ~0.6 ms SLOWER than XLA's fused int8 MLP chain at the
     bench shape (XLA already keeps the quant/gelu elementwise fused and
     overlaps the two matmuls better), so it stays opt-in for other
-    shapes."""
+    shapes.
+
+    fused_qkv (default) additionally pulls the int8 qkv projection
+    itself into the kernel (ops/pallas_attn_quant.fused_qkv_attention_
+    quant): the (B, T, 3C) f32 qkv tensor — 96 MB per block at the
+    bench shape — never touches HBM. Bit-identical numerics."""
     from ..ops.norm import layer_norm
-    from ..ops.pallas_attn_quant import fused_causal_attention_quant
+    from ..ops.pallas_attn_quant import (fused_causal_attention_quant,
+                                         fused_qkv_attention_quant)
     from ..ops.activations import new_gelu
 
     t = x_ids.shape[1]
@@ -201,9 +208,17 @@ def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False):
         if blk["c_proj"].act_scale is None:
             raise ValueError("fused path needs calibrated act scales")
         h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
-        qkv = qdot(h, blk["c_attn"])                  # (B, T, 3C) f32
-        y8 = fused_causal_attention_quant(
-            qkv, blk["c_proj"].act_scale, n_head=model.n_head)
+        if fused_qkv:
+            if blk["c_attn"].act_scale is None:
+                raise ValueError("fused path needs calibrated act scales")
+            ca = blk["c_attn"]
+            y8 = fused_qkv_attention_quant(
+                h, ca.w_int8, ca.scale / ca.act_scale, ca.bias,
+                ca.act_scale, blk["c_proj"].act_scale, n_head=model.n_head)
+        else:
+            qkv = qdot(h, blk["c_attn"])              # (B, T, 3C) f32
+            y8 = fused_causal_attention_quant(
+                qkv, blk["c_proj"].act_scale, n_head=model.n_head)
         x = x + qdot_prequantized(y8, blk["c_proj"])
         h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
         if fused_mlp:
