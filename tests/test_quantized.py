@@ -77,7 +77,9 @@ def test_fused_attn_quant_matches_xla_int8(rng):
     qp = quantize_transformer(params, act_absmax=am)
 
     base = np.asarray(quantized_classify(m, qp, ids))
-    for kw in ({}, {"fused_mlp": True}, {"fused_qkv": False}):
+    for kw in ({}, {"fused_mlp": True}, {"fused_qkv": False},
+               {"attn_block_rows": 8}):  # causal row-block skipping
+        # seq_len=11 with block_rows=8 also exercises the pad-to-16 path
         fused = np.asarray(quantized_classify(m, qp, ids,
                                               fused_attention=True, **kw))
         np.testing.assert_array_equal(base, fused), kw

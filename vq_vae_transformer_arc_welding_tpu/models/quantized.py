@@ -180,7 +180,7 @@ def quantized_backbone(model, qparams, x_ids):
 
 
 def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,
-                             fused_qkv=True):
+                             fused_qkv=True, attn_block_rows=None):
     """Backbone with the fused Pallas attention+quant kernel
     (ops/pallas_attn_quant.py): scores never touch HBM and the
     attention output lands pre-quantized for the int8 proj matmul.
@@ -214,7 +214,8 @@ def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,
             ca = blk["c_attn"]
             y8 = fused_qkv_attention_quant(
                 h, ca.w_int8, ca.scale / ca.act_scale, ca.bias,
-                ca.act_scale, blk["c_proj"].act_scale, n_head=model.n_head)
+                ca.act_scale, blk["c_proj"].act_scale, n_head=model.n_head,
+                block_rows=attn_block_rows)
         else:
             qkv = qdot(h, blk["c_attn"])              # (B, T, 3C) f32
             y8 = fused_causal_attention_quant(

@@ -67,9 +67,16 @@ def _kernel(scale_ref, qkv_ref, o_ref, *, n_head: int, d_head: int,
 
 
 def _qkv_kernel(scales_ref, x_ref, w_ref, deq_ref, bias_ref, o_ref, *,
-                n_head: int, d_head: int, t_valid: int, sm_scale: float):
+                n_head: int, d_head: int, t_valid: int, sm_scale: float,
+                block_rows: int | None = None):
     """_kernel plus the int8 qkv projection in front: the (Tp, 3C) f32
-    qkv tensor lives only in VMEM, never in HBM."""
+    qkv tensor lives only in VMEM, never in HBM.
+
+    block_rows: when set, score/PV matmuls are tiled over causal row
+    blocks and the fully-masked upper-right column blocks are skipped
+    entirely — rows in block r only ever attend to columns < (r+1)*br,
+    so the skipped contributions are exact zeros. Cuts the dominant
+    score-matmul FLOPs by ~(n_rb-1)/(2*n_rb)."""
     c = n_head * d_head
     x = x_ref[0]                                       # (Tp, C) f32
     x_scale = scales_ref[0]
@@ -81,33 +88,44 @@ def _qkv_kernel(scales_ref, x_ref, w_ref, deq_ref, bias_ref, o_ref, *,
     qkv = acc.astype(jnp.float32) * deq_ref[0] + bias_ref[0]
 
     tp = qkv.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-    mask = (col <= row) & (col < t_valid)
+    br = tp if block_rows is None else block_rows
+    n_rb = tp // br
+    masks = []
+    for r in range(n_rb):
+        ext = (r + 1) * br
+        row = jax.lax.broadcasted_iota(jnp.int32, (br, ext), 0) + r * br
+        col = jax.lax.broadcasted_iota(jnp.int32, (br, ext), 1)
+        masks.append((col <= row) & (col < t_valid))
 
     outs = []
     for h in range(n_head):
         q = qkv[:, h * d_head:(h + 1) * d_head]
         k = qkv[:, c + h * d_head:c + (h + 1) * d_head]
         v = qkv[:, 2 * c + h * d_head:2 * c + (h + 1) * d_head]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
-        s = jnp.where(mask, s, -jnp.inf)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) / l
-        outs.append(o)
+        blocks = []
+        for r in range(n_rb):
+            ext = (r + 1) * br
+            s = jax.lax.dot_general(
+                q[r * br:ext], k[:ext], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * sm_scale
+            s = jnp.where(masks[r], s, -jnp.inf)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            blocks.append(jax.lax.dot_general(
+                p, v[:ext], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) / l)
+        outs.append(blocks[0] if n_rb == 1
+                    else jnp.concatenate(blocks, axis=0))
     y = jnp.concatenate(outs, axis=1)                  # (Tp, C)
     o_ref[0] = jnp.clip(jnp.round(y * y_scale), -127, 127).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "interpret", "block_rows"))
 def fused_qkv_attention_quant(h, w_qkv_int8, deq, bias, x_scale, y_scale, *,
-                              n_head: int, interpret: bool | None = None):
+                              n_head: int, interpret: bool | None = None,
+                              block_rows: int | None = None):
     """Fully fused int8 qkv-projection + causal attention + int8 output
     quantization.
 
@@ -130,7 +148,12 @@ def fused_qkv_attention_quant(h, w_qkv_int8, deq, bias, x_scale, y_scale, *,
     d_head = c // n_head
     sm_scale = 1.0 / math.sqrt(d_head)
 
-    tp = -(-t // 8) * 8
+    if block_rows is not None:
+        if block_rows % 8:
+            raise ValueError("block_rows must be a multiple of 8 (sublane)")
+        tp = -(-t // block_rows) * block_rows
+    else:
+        tp = -(-t // 8) * 8
     if tp != t:
         h = jnp.pad(h, ((0, 0), (0, tp - t), (0, 0)))
     scales = jnp.stack([jnp.asarray(x_scale, jnp.float32).reshape(()),
@@ -140,7 +163,8 @@ def fused_qkv_attention_quant(h, w_qkv_int8, deq, bias, x_scale, y_scale, *,
 
     out = pl.pallas_call(
         functools.partial(_qkv_kernel, n_head=n_head, d_head=d_head,
-                          t_valid=t, sm_scale=sm_scale),
+                          t_valid=t, sm_scale=sm_scale,
+                          block_rows=block_rows),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
