@@ -28,7 +28,7 @@ class WeldingQualityPipeline:
 
     def __init__(self, vqvae, transformer, n_cycles: int,
                  max_batch: int = 64, precision: str = "f32",
-                 start_token: int | None = None):
+                 start_token: int | None = None, mesh=None):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 — call calibrate() with sample
         windows before classify; ~17% faster, label-identical).
@@ -39,7 +39,15 @@ class WeldingQualityPipeline:
         reference quirk), which equals num_embeddings only when every
         codebook entry occurs in the training data. Pass the trained
         value explicitly when the codebook has dead codes; the default
-        assumes full codebook usage."""
+        assumes full codebook usage.
+
+        mesh: an optional `jax.sharding.Mesh` with a 'data' axis
+        (parallel.mesh.make_mesh). When given, weights are replicated
+        across the mesh and every batched entry point shards its batch
+        over 'data' via shard_map — serving throughput scales over
+        chips with zero model changes (each device runs the same fused
+        kernels on its local shard; no collectives are needed for
+        inference). Results are identical to single-device serving."""
         self.vq_model, self.vq_params, self.vq_state = vqvae
         self.tr_model, self.tr_params = transformer
         if precision == "bf16":
@@ -50,11 +58,48 @@ class WeldingQualityPipeline:
         self.max_batch = max_batch
         self.start_token = (start_token if start_token is not None
                             else self.vq_model.num_embeddings)
-        self._classify = jax.jit(self._classify_fn)
-        self._encode = jax.jit(self._encode_fn)
-        self._ood = jax.jit(
-            lambda x: self.vq_model.forward_ood(self.vq_params,
-                                                self.vq_state, x))
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import put_replicated
+            (self.vq_params, self.vq_state, self.tr_params) = put_replicated(
+                (self.vq_params, self.vq_state, self.tr_params), mesh)
+        self._rejit()
+
+    def _rejit(self):
+        ood_fn = lambda x: self.vq_model.forward_ood(  # noqa: E731
+            self.vq_params, self.vq_state, x)
+        if self.mesh is None:
+            self._classify = jax.jit(self._classify_fn)
+            self._encode = jax.jit(self._encode_fn)
+            self._ood = jax.jit(ood_fn)
+        else:
+            self._classify = self._sharded(self._classify_fn)
+            self._encode = self._sharded(self._encode_fn)
+            self._ood = self._sharded(ood_fn)
+
+    def _sharded(self, fn):
+        """Data-parallel wrapper: pad the batch to the 'data' axis
+        size, shard it, run fn per device via shard_map, crop."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map  # jax >= 0.6
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        mesh = self.mesh
+        n_data = mesh.shape["data"]
+        smfn = jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
+                                 out_specs=P("data"), check_vma=False))
+        ds = NamedSharding(mesh, P("data"))
+
+        def call(x):
+            n = x.shape[0]
+            pad = (-n) % n_data
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            out = smfn(jax.device_put(x, ds))
+            return out[:n]
+        return call
 
     def calibrate(self, sample_windows: np.ndarray,
                   max_samples: int | None = None):
@@ -77,19 +122,19 @@ class WeldingQualityPipeline:
             axis=1)
         am = calibrate_activation_absmax(self.tr_model, self.tr_params, ids)
         self.qparams = quantize_transformer(self.tr_params, act_absmax=am)
-        self._classify = jax.jit(self._classify_fn)
+        self._rejit()
         return am
 
     @classmethod
     def from_checkpoints(cls, vqvae_ckpt: str, transformer_ckpt: str,
                          n_cycles: int = 20, max_batch: int = 64,
                          precision: str = "f32",
-                         start_token: int | None = None):
+                         start_token: int | None = None, mesh=None):
         from .cli.shared import load_vqvae_any
         vq = load_vqvae_any(vqvae_ckpt)
         tr_model, tr_params, _ = TransformerDecoder.load(transformer_ckpt)
         return cls(vq, (tr_model, tr_params), n_cycles, max_batch,
-                   precision=precision, start_token=start_token)
+                   precision=precision, start_token=start_token, mesh=mesh)
 
     # -- jitted cores ------------------------------------------------------
 
