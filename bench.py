@@ -51,10 +51,11 @@ def log(*a):
 def tpu_windows_per_sec(batch=BATCH, iters=ITERS, groups=GROUPS):
     import __graft_entry__ as g
     # serving precision: VQ encode stays f32 (bit-exact codebook
-    # indices); the transformer runs calibrated int8 on the MXU with the
-    # fused Pallas attention+quant kernel — 100% label agreement,
-    # <5e-3 logit drift vs f32 (models/quantized.py,
-    # ops/pallas_attn_quant.py; calibration happens here on samples)
+    # indices); the transformer runs calibrated int8 on the MXU with
+    # whole-block Pallas fusion (ln1+qkv+attention+proj+residual+ln2+
+    # quant per kernel) — 100% label agreement, <5e-3 logit drift vs
+    # f32 (models/quantized.py, ops/pallas_block_quant.py;
+    # calibration happens here on samples)
     from vq_vae_transformer_arc_welding_tpu.models.quantized import (
         calibrate_activation_absmax, quantize_transformer)
     vq, tr, vq_params, vq_state, tr_params = g._build()

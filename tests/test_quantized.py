@@ -91,6 +91,70 @@ def test_fused_attn_quant_matches_xla_int8(rng):
                                   fused.argmax(-1))
 
 
+def test_block_fusion_label_parity(rng):
+    """Whole-block Pallas fusion (ops/pallas_block_quant.py): the f32
+    residual stream lives inside the kernel, so bit-identity to the XLA
+    chain is not guaranteed (attention op-order drift is no longer
+    absorbed by an int8 round-trip at every block boundary). Contract:
+    identical labels, logit drift at float-noise scale, and the int8
+    tensors at the first quantization boundary bit-match."""
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        calibrate_activation_absmax)
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    ids = jnp.asarray(rng.integers(0, 16, (5, 11)), jnp.int32)
+    am = calibrate_activation_absmax(m, params, ids)
+    qp = quantize_transformer(params, act_absmax=am)
+
+    base = np.asarray(quantized_classify(m, qp, ids))
+    for bf in ("attn", "full"):
+        out = np.asarray(quantized_classify(m, qp, ids, block_fusion=bf))
+        np.testing.assert_array_equal(base.argmax(-1), out.argmax(-1)), bf
+        assert np.abs(base - out).max() < 1e-3, bf
+
+    # the attn-half kernel's h8 output (the next int8 boundary) matches
+    # the XLA chain exactly: drift is absorbed by the quantization
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        qdot, qdot_prequantized)
+    from vq_vae_transformer_arc_welding_tpu.ops.norm import layer_norm
+    from vq_vae_transformer_arc_welding_tpu.ops.attention import (
+        causal_attention_core, merge_heads, split_heads)
+    from vq_vae_transformer_arc_welding_tpu.ops.pallas_block_quant import (
+        fused_attn_block_quant)
+    t = ids.shape[1]
+    x = jnp.take(qp["tok_emb"], ids, axis=0) + m.pe[None, :t]
+    blk = qp["blocks"][0]
+    h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+    qkv = qdot(h, blk["c_attn"])
+    q, k, v = (split_heads(z, m.n_head)
+               for z in jnp.split(qkv, 3, axis=-1))
+    y = merge_heads(causal_attention_core(q, k, v))
+    y8 = jnp.clip(jnp.round(y * blk["c_proj"].act_scale),
+                  -127, 127).astype(jnp.int8)
+    x_mid_ref = x + qdot_prequantized(y8, blk["c_proj"])
+    h2 = layer_norm(x_mid_ref, blk["ln2_scale"], blk["ln2_bias"])
+    h8_ref = jnp.clip(jnp.round(h2 * blk["c_fc"].act_scale),
+                      -127, 127).astype(jnp.int8)
+    x_mid, h8 = fused_attn_block_quant(x, blk, n_head=m.n_head)
+    np.testing.assert_array_equal(np.asarray(h8_ref), np.asarray(h8))
+    assert float(jnp.abs(x_mid - x_mid_ref).max()) < 1e-3
+
+
+def test_block_fusion_requires_calibration(rng):
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=1,
+                           n_head=4)
+    params, _ = m.init(0)
+    qp = quantize_transformer(params)  # dynamic scales, no calibration
+    ids = jnp.asarray(rng.integers(0, 16, (3, 11)), jnp.int32)
+    for bf in ("attn", "full"):
+        try:
+            quantized_classify(m, qp, ids, block_fusion=bf)
+            assert False, "expected ValueError for missing act scales"
+        except ValueError:
+            pass
+
+
 def test_fused_attn_quant_requires_calibration(rng):
     m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=1,
                            n_head=4)

@@ -233,10 +233,48 @@ def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,
     return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
 
 
+def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
+                             int8_attn=False):
+    """Backbone with whole-block Pallas fusion
+    (ops/pallas_block_quant.py): per block the residual stream crosses
+    HBM once (x-in / x-out for full_block=True; plus the int8 fc input
+    for the attn-half variant, whose MLP stays on XLA's fused chain).
+    Requires calibrated activation scales. Bit-identical numerics to
+    quantized_backbone in interpret mode (same op order throughout)."""
+    from ..ops.activations import new_gelu
+    from ..ops.norm import layer_norm
+    from ..ops.pallas_block_quant import (fused_attn_block_quant,
+                                          fused_block_quant)
+
+    t = x_ids.shape[1]
+    x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
+    for blk in qparams["blocks"]:
+        if full_block:
+            x = fused_block_quant(x, blk, n_head=model.n_head,
+                                  int8_attn=int8_attn)
+        else:
+            x_mid, h8 = fused_attn_block_quant(x, blk, n_head=model.n_head,
+                                               int8_attn=int8_attn)
+            mid = qdot_prequantized(h8, blk["c_fc"])
+            x = x_mid + qdot(new_gelu(mid), blk["m_proj"])
+    return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
+
+
 def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
-                       **fused_kw):
+                       block_fusion: str | None = None, **fused_kw):
+    """block_fusion: None | 'attn' | 'full' | 'attn8' | 'full8' —
+    whole-block Pallas fusion (quantized_backbone_block); the '8'
+    variants also run score/probs@V matmuls on the int8 MXU.
+    Overrides fused_attention."""
     from ..ops.activations import gelu
-    if fused_attention:
+    if block_fusion is not None:
+        assert not (fused_attention or fused_kw), \
+            "block_fusion replaces the fused_attention path"
+        x = quantized_backbone_block(
+            model, qparams, x_ids,
+            full_block=block_fusion.startswith("full"),
+            int8_attn=block_fusion.endswith("8"))
+    elif fused_attention:
         x = quantized_backbone_fused(model, qparams, x_ids, **fused_kw)
     else:
         assert not fused_kw, "fused_* options need fused_attention=True"

@@ -155,10 +155,10 @@ class WeldingQualityPipeline:
                 raise RuntimeError(
                     "precision='int8' requires calibrate(sample) first")
             from .models.quantized import quantized_classify
-            # calibrated scales enable the fused Pallas attention+quant
-            # kernel (ops/pallas_attn_quant.py) — the bench-winning path
+            # calibrated scales enable whole-block Pallas fusion
+            # (ops/pallas_block_quant.py) — the bench-winning path
             logits = quantized_classify(self.tr_model, self.qparams, ids,
-                                        fused_attention=True)
+                                        block_fusion="attn")
         else:
             logits, _ = self.tr_model.apply(self.tr_params, None, ids,
                                             generate=False)
