@@ -80,7 +80,13 @@ def main():
             "full": make({"block_fusion": "full"}),
             "attn8": make({"block_fusion": "attn8"}),
             "full8": make({"block_fusion": "full8"}),
+            "attn-bf16": make({"block_fusion": "attn-bf16"}),
+            "full-bf16": make({"block_fusion": "full-bf16"}),
         }
+        import os
+        sel = os.environ.get("VARIANTS")
+        if sel:
+            variants = {k: variants[k] for k in sel.split(",")}
         args = (vq_params, vq_state, x)
         outs = {}
         for name, fn in variants.items():

@@ -108,10 +108,11 @@ def test_block_fusion_label_parity(rng):
     qp = quantize_transformer(params, act_absmax=am)
 
     base = np.asarray(quantized_classify(m, qp, ids))
-    for bf in ("attn", "full"):
+    for bf, tol in (("attn", 1e-3), ("full", 1e-3), ("attn8", 2e-2),
+                    ("attn-bf16", 5e-2), ("full-bf16", 5e-2)):
         out = np.asarray(quantized_classify(m, qp, ids, block_fusion=bf))
         np.testing.assert_array_equal(base.argmax(-1), out.argmax(-1)), bf
-        assert np.abs(base - out).max() < 1e-3, bf
+        assert np.abs(base - out).max() < tol, bf
 
     # the attn-half kernel's h8 output (the next int8 boundary) matches
     # the XLA chain exactly: drift is absorbed by the quantization

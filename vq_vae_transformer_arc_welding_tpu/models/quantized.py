@@ -234,7 +234,7 @@ def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,
 
 
 def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
-                             int8_attn=False):
+                             int8_attn=False, stream_dtype=None):
     """Backbone with whole-block Pallas fusion
     (ops/pallas_block_quant.py): per block the residual stream crosses
     HBM once (x-in / x-out for full_block=True; plus the int8 fc input
@@ -248,6 +248,10 @@ def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
 
     t = x_ids.shape[1]
     x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
+    if stream_dtype is not None:
+        # bf16 residual stream between kernels: halves the remaining
+        # HBM stream traffic; kernels compute f32 internally
+        x = x.astype(stream_dtype)
     for blk in qparams["blocks"]:
         if full_block:
             x = fused_block_quant(x, blk, n_head=model.n_head,
@@ -257,6 +261,9 @@ def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
                                                int8_attn=int8_attn)
             mid = qdot_prequantized(h8, blk["c_fc"])
             x = x_mid + qdot(new_gelu(mid), blk["m_proj"])
+            if stream_dtype is not None:
+                x = x.astype(stream_dtype)
+    x = x.astype(jnp.float32)
     return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
 
 
@@ -264,16 +271,21 @@ def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
                        block_fusion: str | None = None, **fused_kw):
     """block_fusion: None | 'attn' | 'full' | 'attn8' | 'full8' —
     whole-block Pallas fusion (quantized_backbone_block); the '8'
-    variants also run score/probs@V matmuls on the int8 MXU.
-    Overrides fused_attention."""
+    variants also run score/probs@V matmuls on the int8 MXU. A '-bf16'
+    suffix (e.g. 'attn-bf16') carries the residual stream between
+    kernels in bfloat16. Overrides fused_attention."""
     from ..ops.activations import gelu
     if block_fusion is not None:
         assert not (fused_attention or fused_kw), \
             "block_fusion replaces the fused_attention path"
+        bf, stream_dtype = block_fusion, None
+        if bf.endswith("-bf16"):
+            bf, stream_dtype = bf[:-5], jnp.bfloat16
         x = quantized_backbone_block(
             model, qparams, x_ids,
-            full_block=block_fusion.startswith("full"),
-            int8_attn=block_fusion.endswith("8"))
+            full_block=bf.startswith("full"),
+            int8_attn=bf.endswith("8"),
+            stream_dtype=stream_dtype)
     elif fused_attention:
         x = quantized_backbone_fused(model, qparams, x_ids, **fused_kw)
     else:

@@ -137,10 +137,10 @@ def _attn_block_kernel(scales_ref, x_ref, vc_ref, v3c_ref, w_qkv_ref,
                        w_proj_ref, xmid_ref, h8_ref, *, n_head, d_head,
                        t_valid, sm_scale, int8_attn):
     x_mid, h8 = _attn_half(
-        x_ref[0], scales_ref, vc_ref[...], v3c_ref[...], w_qkv_ref,
-        w_proj_ref, n_head=n_head, d_head=d_head, t_valid=t_valid,
+        x_ref[0].astype(jnp.float32), scales_ref, vc_ref[...], v3c_ref[...],
+        w_qkv_ref, w_proj_ref, n_head=n_head, d_head=d_head, t_valid=t_valid,
         sm_scale=sm_scale, int8_attn=int8_attn)
-    xmid_ref[0] = x_mid
+    xmid_ref[0] = x_mid.astype(xmid_ref.dtype)
     h8_ref[0] = h8
 
 
@@ -148,13 +148,13 @@ def _full_block_kernel(scales_ref, x_ref, vc_ref, v3c_ref, v4c_ref,
                        w_qkv_ref, w_proj_ref, w_fc_ref, w_mp_ref, o_ref, *,
                        n_head, d_head, t_valid, sm_scale, int8_attn):
     x_mid, h8 = _attn_half(
-        x_ref[0], scales_ref, vc_ref[...], v3c_ref[...], w_qkv_ref,
-        w_proj_ref, n_head=n_head, d_head=d_head, t_valid=t_valid,
+        x_ref[0].astype(jnp.float32), scales_ref, vc_ref[...], v3c_ref[...],
+        w_qkv_ref, w_proj_ref, n_head=n_head, d_head=d_head, t_valid=t_valid,
         sm_scale=sm_scale, int8_attn=int8_attn)
     mid = _idot(h8, w_fc_ref).astype(jnp.float32) * v4c_ref[0] + v4c_ref[1]
     g8 = _q8(_new_gelu(mid), scales_ref[3])
     mlp = _idot(g8, w_mp_ref).astype(jnp.float32) * vc_ref[6] + vc_ref[7]
-    o_ref[0] = x_mid + mlp
+    o_ref[0] = (x_mid + mlp).astype(o_ref.dtype)
 
 
 def _block_operands(x, blk, full: bool):
@@ -211,6 +211,7 @@ def fused_attn_block_quant(x, blk, *, n_head: int,
     const = lambda i: (0, 0)  # noqa: E731 — VMEM-resident across grid
     rowblk = lambda i: (i, 0, 0)  # noqa: E731
 
+    stream_dtype = x.dtype
     x_mid, h8 = pl.pallas_call(
         functools.partial(_attn_block_kernel, n_head=n_head, d_head=d_head,
                           t_valid=t, sm_scale=sm_scale,
@@ -228,7 +229,7 @@ def fused_attn_block_quant(x, blk, *, n_head: int,
             pl.BlockSpec((1, tp, c), rowblk, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, c), rowblk, memory_space=pltpu.VMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((b, tp, c), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, tp, c), stream_dtype),
                    jax.ShapeDtypeStruct((b, tp, c), jnp.int8)],
         interpret=interpret,
     )(scales, x, vc, v3c, w_qkv, w_proj)
@@ -280,7 +281,7 @@ def fused_block_quant(x, blk, *, n_head: int,
             pl.BlockSpec((c4, c), const, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tp, c), rowblk, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tp, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, tp, c), x.dtype),
         interpret=interpret,
     )(scales, x, vc, v3c, v4c, w_qkv, w_proj, w_fc, w_mp)
     return out[:, :t] if tp != t else out
