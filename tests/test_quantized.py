@@ -215,3 +215,28 @@ def test_quantized_kv_sampler_consistency(rng):
     out2 = quantized_generate_kv(m, qp, prompt, do_sample=False)
     assert out2.shape == (2, 4 + 10)
     np.testing.assert_array_equal(np.asarray(out2[:, :4]), np.asarray(prompt))
+
+
+def test_int8_encoder_opt_in(rng):
+    """Opt-in int8 VQ-VAE encoder (encode_indices_quantized): quantizes
+    only the center-tap matmuls; indices are NOT bit-comparable (the
+    BASELINE.md contract stays on the default f32 path) but the flip
+    rate must stay small and the shapes/ranges exact."""
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        calibrate_encoder_absmax, quantize_encoder, encode_indices_quantized)
+
+    vq = VQVAEPatch(hidden_dim=64, input_dim=2, num_embeddings=32,
+                    embedding_dim=16, n_resblocks=2, learning_rate=1e-3,
+                    patch_size=25)
+    params, state = vq.init(0)
+    x = jnp.asarray(rng.standard_normal((64, 200, 2)), jnp.float32)
+    am = calibrate_encoder_absmax(vq, params, state, x[:16])
+    assert set(am) == {"b0_c1", "b0_c2", "b1_c1", "b1_c2", "sep"}
+    qenc = quantize_encoder(vq, params, am)
+    ids_q = np.asarray(encode_indices_quantized(vq, qenc, params, state, x))
+    ids_f = np.asarray(vq.encode_indices(params, state, x))
+    assert ids_q.shape == ids_f.shape
+    assert (ids_q >= 0).all() and (ids_q < 32).all()
+    flip = (ids_q != ids_f).mean()
+    assert flip < 0.05, flip  # ~1% measured on random weights

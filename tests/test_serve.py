@@ -167,3 +167,32 @@ def test_pipeline_mesh_data_parallel(tmp_path, rng):
     l8s, p8s = sharded.classify(x)
     np.testing.assert_array_equal(l8b, l8s)
     np.testing.assert_allclose(p8b, p8s, rtol=1e-6, atol=1e-7)
+
+
+def test_serve_int8_encoder_precision(rng):
+    """encoder_precision='int8' pipeline: calibrate() also quantizes the
+    encoder; classify stays label-consistent with the f32-encoder int8
+    pipeline on the calibration distribution."""
+    n_cycles = 2
+    vq = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                    embedding_dim=4, n_resblocks=1, learning_rate=1e-3)
+    vq_params, vq_state = vq.init(0)
+    seq_len = n_cycles * vq.enc_out_len + 1
+    tr = TransformerDecoder(d_model=16, n_classes=10, seq_len=seq_len,
+                            n_blocks=1, n_head=2)
+    tr_params, _ = tr.init(0)
+    x = np.asarray(rng.standard_normal((6, n_cycles * 200, 2)), np.float32)
+    pipe = WeldingQualityPipeline((vq, vq_params, vq_state),
+                                  (tr, tr_params), n_cycles, max_batch=4,
+                                  precision="int8", encoder_precision="int8")
+    pipe.calibrate(x[:4])
+    assert pipe.qenc is not None
+    labels, probs = pipe.classify(x)
+    assert probs.shape == (6, 2)
+    assert np.allclose(probs.sum(-1), 1, atol=1e-5)
+    base = WeldingQualityPipeline((vq, vq_params, vq_state),
+                                  (tr, tr_params), n_cycles, max_batch=4,
+                                  precision="int8")
+    base.calibrate(x[:4])
+    lb, _ = base.classify(x)
+    assert (labels == lb).mean() >= 5 / 6  # int8 encoder may flip rare codes

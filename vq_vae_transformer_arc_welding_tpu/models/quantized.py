@@ -440,3 +440,102 @@ def quantized_generate_kv(model, qparams, x_ids, *, do_sample: bool = False,
                                     total=total, do_sample=do_sample,
                                     top_k=top_k, logits_fn=window_logits)
     return buf
+
+
+# -- opt-in int8 VQ-VAE encoder for serving ---------------------------------
+#
+# The f32 encoder is ~25% of the serving iter (BENCHMARKS.md round-3
+# budget) and is pinned f32 on the DEFAULT path by the bit-comparable-
+# codebook-indices contract (BASELINE.md). This opt-in quantizes the
+# encoder's center-tap matmuls (the FLOP carriers — ops/conv.py
+# center_tap_dense, 2 per resblock + sep_conv) to calibrated int8;
+# patch-embed (K=25, ~1% of encoder FLOPs), GELU, eval-BatchNorm and
+# the VQ distance/argmin stay f32. Indices are NO LONGER guaranteed
+# bit-comparable: quantization noise can flip codes near Voronoi
+# boundaries. Measure the flip rate and downstream label agreement on
+# YOUR checkpoint before enabling (serve.WeldingQualityPipeline
+# encoder_precision='int8'; bench.py keeps the f32 contract path).
+
+
+def calibrate_encoder_absmax(model, params, state, sample_cycles,
+                             margin: float = 1.25) -> dict:
+    """Eval-mode encoder forward on calibration cycles, recording the
+    absmax input of every center-tap matmul (x margin)."""
+    from ..ops.activations import gelu
+    from ..ops.norm import batch_norm_apply
+    from ..ops.patching import patch_embed
+
+    am: dict[str, float] = {}
+
+    def rec(site, x):
+        am[site] = float(jnp.max(jnp.abs(x))) * margin
+        return x
+
+    h = patch_embed(sample_cycles, params["patch_embed"]["kernel"],
+                    params["patch_embed"]["bias"], model.patch_size)
+    bns = state.get("encoder_bn") if model.batch_norm else None
+    for i, p in enumerate(params["encoder"]):
+        a = rec(f"b{i}_c1", gelu(h))
+        c = jnp.einsum("bpi,oi->bpo", a,
+                       p["conv1_w"][:, :, p["conv1_w"].shape[-1] // 2]
+                       ) + p["conv1_b"]
+        if model.batch_norm:
+            c, _ = batch_norm_apply(c, p["bn1_scale"], p["bn1_bias"],
+                                    bns[i]["bn1"], train=False)
+        a = rec(f"b{i}_c2", gelu(c))
+        c = jnp.einsum("bpi,oi->bpo", a,
+                       p["conv2_w"][:, :, p["conv2_w"].shape[-1] // 2]
+                       ) + p["conv2_b"]
+        if model.batch_norm:
+            c, _ = batch_norm_apply(c, p["bn2_scale"], p["bn2_bias"],
+                                    bns[i]["bn2"], train=False)
+        h = h + c
+    rec("sep", h)
+    return am
+
+
+def quantize_encoder(model, params, enc_absmax: dict) -> dict:
+    """Per-output-channel int8 QLinears for every center-tap matmul of
+    the encoder (torch kernel layout (O, I, k) -> center tap (I, O))."""
+    qenc = {"blocks": []}
+    for i, p in enumerate(params["encoder"]):
+        qenc["blocks"].append({
+            "c1": quantize_linear(
+                p["conv1_w"][:, :, p["conv1_w"].shape[-1] // 2].T,
+                p["conv1_b"], act_absmax=enc_absmax[f"b{i}_c1"]),
+            "c2": quantize_linear(
+                p["conv2_w"][:, :, p["conv2_w"].shape[-1] // 2].T,
+                p["conv2_b"], act_absmax=enc_absmax[f"b{i}_c2"]),
+        })
+    w_sep = params["sep_conv"]["w"]
+    qenc["sep"] = quantize_linear(w_sep[:, :, w_sep.shape[-1] // 2].T,
+                                  params["sep_conv"]["b"],
+                                  act_absmax=enc_absmax["sep"])
+    return qenc
+
+
+def encode_indices_quantized(model, qenc, params, state, x):
+    """Eval-mode encode + nearest-code ids with int8 center-tap matmuls.
+    Mirrors VQVAEPatch.encode/encode_indices (vqvae_patch.py:177-246);
+    the VQ distance/argmin stays f32 on the int8 z_e."""
+    from ..ops.activations import gelu
+    from ..ops.norm import batch_norm_apply
+    from ..ops.patching import patch_embed
+    from ..ops.vq import nearest_codes
+
+    h = patch_embed(x, params["patch_embed"]["kernel"],
+                    params["patch_embed"]["bias"], model.patch_size)
+    bns = state.get("encoder_bn") if model.batch_norm else None
+    for i, (p, q) in enumerate(zip(params["encoder"], qenc["blocks"])):
+        c = qdot(gelu(h), q["c1"])
+        if model.batch_norm:
+            c, _ = batch_norm_apply(c, p["bn1_scale"], p["bn1_bias"],
+                                    bns[i]["bn1"], train=False)
+        c = qdot(gelu(c), q["c2"])
+        if model.batch_norm:
+            c, _ = batch_norm_apply(c, p["bn2_scale"], p["bn2_bias"],
+                                    bns[i]["bn2"], train=False)
+        h = h + c
+    z_e = qdot(h, qenc["sep"])
+    flat = z_e.reshape(-1, model.embedding_dim)
+    return nearest_codes(flat, params["vq"]["codebook"]).reshape(z_e.shape[:-1])

@@ -28,7 +28,8 @@ class WeldingQualityPipeline:
 
     def __init__(self, vqvae, transformer, n_cycles: int,
                  max_batch: int = 64, precision: str = "f32",
-                 start_token: int | None = None, mesh=None):
+                 start_token: int | None = None, mesh=None,
+                 encoder_precision: str = "f32"):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 — call calibrate() with sample
         windows before classify; ~17% faster, label-identical).
@@ -54,6 +55,13 @@ class WeldingQualityPipeline:
             self.tr_model.compute_dtype = jnp.bfloat16
         self.precision = precision
         self.qparams = None
+        # encoder_precision='int8' (opt-in, calibrate() first) quantizes
+        # the VQ-VAE encoder's center-tap matmuls; codebook indices are
+        # then no longer bit-comparable to the reference (BASELINE.md
+        # contract) — measure the flip rate / label agreement on your
+        # checkpoint first (models/quantized.encode_indices_quantized)
+        self.encoder_precision = encoder_precision
+        self.qenc = None
         self.n_cycles = n_cycles
         self.max_batch = max_batch
         self.start_token = (start_token if start_token is not None
@@ -116,6 +124,16 @@ class WeldingQualityPipeline:
                                        quantize_transformer)
         if max_samples is not None:
             sample_windows = sample_windows[:max_samples]
+        if self.encoder_precision == "int8":
+            from .models.quantized import (calibrate_encoder_absmax,
+                                           quantize_encoder)
+            cyc = jnp.asarray(sample_windows, jnp.float32).reshape(
+                -1, CYCLE_LEN, 2)
+            enc_am = calibrate_encoder_absmax(
+                self.vq_model, self.vq_params, self.vq_state, cyc)
+            self.qenc = quantize_encoder(self.vq_model, self.vq_params,
+                                         enc_am)
+            self._rejit()  # drop any f32-encoder trace before calibrating
         ids = self._encode(jnp.asarray(sample_windows, jnp.float32))
         ids = jnp.concatenate(
             [jnp.full((ids.shape[0], 1), self.start_token, ids.dtype), ids],
@@ -141,8 +159,14 @@ class WeldingQualityPipeline:
     def _encode_fn(self, x):
         b = x.shape[0]
         cycles = x.reshape(b * self.n_cycles, CYCLE_LEN, 2)
-        ids = self.vq_model.encode_indices(self.vq_params, self.vq_state,
+        if self.encoder_precision == "int8" and self.qenc is not None:
+            from .models.quantized import encode_indices_quantized
+            ids = encode_indices_quantized(self.vq_model, self.qenc,
+                                           self.vq_params, self.vq_state,
                                            cycles)
+        else:
+            ids = self.vq_model.encode_indices(self.vq_params, self.vq_state,
+                                               cycles)
         return ids.reshape(b, self.n_cycles * self.vq_model.enc_out_len)
 
     def _classify_fn(self, x):
