@@ -240,3 +240,26 @@ def test_int8_encoder_opt_in(rng):
     assert (ids_q >= 0).all() and (ids_q < 32).all()
     flip = (ids_q != ids_f).mean()
     assert flip < 0.05, flip  # ~1% measured on random weights
+
+
+def test_fused_encoder_resblock_parity(rng):
+    """Fused f32 encoder resblock kernel (ops/pallas_encoder.py):
+    interpret mode matches the XLA encode_indices path exactly on test
+    data (the in-kernel A&S-erf GELU differs from XLA's erfc form by
+    <=1.5e-7, which can flip an argmin only on a near-exact tie)."""
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    from vq_vae_transformer_arc_welding_tpu.ops.pallas_encoder import (
+        encode_indices_fused)
+
+    for bn in (True, False):
+        vq = VQVAEPatch(hidden_dim=64, input_dim=2, num_embeddings=32,
+                        embedding_dim=16, n_resblocks=2, learning_rate=1e-3,
+                        patch_size=25, batch_norm=bn)
+        params, state = vq.init(0)
+        x = jnp.asarray(rng.standard_normal((48, 200, 2)), jnp.float32)
+        ids_f = np.asarray(vq.encode_indices(params, state, x))
+        # tile_rows=64 also exercises the row-padding path (48*16=768)
+        ids_k = np.asarray(encode_indices_fused(vq, params, state, x,
+                                                tile_rows=64))
+        flips = (ids_f != ids_k).mean()
+        assert flips == 0.0, (bn, flips)

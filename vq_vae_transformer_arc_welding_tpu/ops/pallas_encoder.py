@@ -1,0 +1,170 @@
+"""Pallas TPU kernel: fused f32 VQ-VAE encoder resblock for serving.
+
+End-to-end decomposition (BENCHMARKS.md round 4): stripping the
+encoder's GELU/BatchNorm elementwise ops from the serving pipeline
+saves ~2.5 ms/iter at the bench shape — the resblock chain
+(gelu -> center-tap matmul -> BN -> gelu -> center-tap matmul -> BN ->
+residual, models/vqvae_patch.py::_resblock) makes ~6 full HBM passes
+over the (B*cycles*positions, hidden) activation per block that XLA
+does not fuse across the two matmuls.
+
+This kernel runs one whole eval-mode resblock per grid program on a
+row tile held in VMEM: the only HBM traffic per block is x-in + x-out
+plus the two center-tap weight matrices (constant index maps, resident
+across the grid). Math is op-for-op identical to the XLA path — same
+exact-erf GELU (ops/activations.gelu), same BatchNorm eval expression
+(ops/norm.batch_norm_apply train=False), same contraction — so
+interpret mode is bit-identical and the BASELINE.md bit-comparable-
+codebook-indices contract is preserved where it is tested.
+
+Serving only (eval BN, no dropout); training keeps the XLA path.
+
+Reference parity: one kernel call == one reference CNNBlock
+seperate=True resblock at eval (model/vq_vae_patch_embedd.py:60-74
+with the 16-launch position loop already collapsed to a matmul,
+ops/conv.py::center_tap_dense).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_SQRT_HALF = 0.7071067811865476
+
+
+def _erf(z):
+    # Mosaic lowers neither erf nor erfc; Abramowitz & Stegun 7.1.26
+    # rational approximation (max abs error 1.5e-7) built from
+    # exp/mul/add, all VPU-lowerable.
+    s = jnp.where(z < 0, -1.0, 1.0)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741)
+                * t - 0.284496736) * t + 0.254829592) * t * jnp.exp(-a * a)
+    return s * y
+
+
+def _gelu(x):
+    # exact-erf GELU, 0.5*x*(1+erf(x/sqrt(2))). Differs from XLA's
+    # erfc-based jax.nn.gelu(approximate=False) by <= the A&S 1.5e-7
+    # erf error — can flip a VQ argmin only on a near-exact distance
+    # tie (flip rate asserted tiny in tests/test_quantized.py)
+    return 0.5 * x * (1.0 + _erf(x * _SQRT_HALF))
+
+
+def _bn_eval(x, mean, var, scale, bias, eps=1e-5):
+    # must match ops/norm.batch_norm_apply(train=False) op order
+    y = (x - mean) / jnp.sqrt(var + eps)
+    return y * scale + bias
+
+
+def _kernel(x_ref, w1_ref, w2_ref, vec_ref, o_ref, *, use_bn: bool):
+    v = vec_ref[...]
+    x = x_ref[...]                                     # (R, C) f32
+    h = _gelu(x)
+    c = jax.lax.dot_general(
+        h, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + v[0]
+    if use_bn:
+        c = _bn_eval(c, v[1], v[2], v[3], v[4])
+    h = _gelu(c)
+    c = jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + v[5]
+    if use_bn:
+        c = _bn_eval(c, v[6], v[7], v[8], v[9])
+    o_ref[...] = x + c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "use_bn"))
+def fused_resblock_eval(x, w1, b1, bn1, w2, b2, bn2, *,
+                        tile_rows: int = 1024, use_bn: bool = True,
+                        interpret: bool | None = None):
+    """One eval-mode encoder resblock, fused.
+
+    x: (N, C) f32 rows (flattened (batch*cycles, positions)).
+    w1/w2: (C, C) f32 center-tap matrices ALREADY transposed to
+    (in, out) (i.e. kernel[:, :, k//2].T). b1/b2: (C,).
+    bn1/bn2: (mean, var, scale, bias) tuples of (C,) eval statistics
+    (ignored when use_bn=False — pass zeros).
+    Returns (N, C) f32, bit-matching the XLA chain in interpret mode."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, c = x.shape
+    vec = jnp.stack([b1, *bn1, b2, *bn2]).astype(jnp.float32)  # (10, C)
+
+    npad = -(-n // tile_rows) * tile_rows
+    if npad != n:
+        x = jnp.pad(x, ((0, npad - n), (0, 0)))
+    const = lambda i: (0, 0)  # noqa: E731 — VMEM-resident across grid
+    out = pl.pallas_call(
+        functools.partial(_kernel, use_bn=use_bn),
+        grid=(npad // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, c), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, c), jnp.float32),
+        interpret=interpret,
+    )(x, w1, w2, vec)
+    return out[:n] if npad != n else out
+
+
+def encoder_resblocks_fused(model, params, state, h, *,
+                            tile_rows: int = 1024):
+    """Run all encoder resblocks through the fused kernel.
+
+    h: (B, P, C) patch-embed output. Returns (B, P, C) — the input to
+    sep_conv. Mirrors VQVAEPatch._run_blocks at eval
+    (models/vqvae_patch.py:168-175)."""
+    b, p, c = h.shape
+    flat = h.reshape(b * p, c)
+    bns = state.get("encoder_bn") if model.batch_norm else None
+    for i, blk in enumerate(params["encoder"]):
+        if model.batch_norm:
+            s1, s2 = bns[i]["bn1"], bns[i]["bn2"]
+            bn1 = (s1.mean, s1.var, blk["bn1_scale"], blk["bn1_bias"])
+            bn2 = (s2.mean, s2.var, blk["bn2_scale"], blk["bn2_bias"])
+        else:
+            zero = jnp.zeros((c,))
+            bn1 = bn2 = (zero, zero, zero, zero)  # unused (use_bn=False)
+        k1 = blk["conv1_w"].shape[-1] // 2
+        k2 = blk["conv2_w"].shape[-1] // 2
+        flat = fused_resblock_eval(
+            flat, blk["conv1_w"][:, :, k1].T, blk["conv1_b"], bn1,
+            blk["conv2_w"][:, :, k2].T, blk["conv2_b"], bn2,
+            tile_rows=tile_rows, use_bn=model.batch_norm)
+    return flat.reshape(b, p, c)
+
+
+def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024):
+    """VQVAEPatch.encode_indices with the resblock chain on the fused
+    kernel (patch-embed, sep_conv and the VQ argmin stay on XLA —
+    they are single fused ops already)."""
+    from .patching import patch_embed
+    from .conv import center_tap_dense
+    from .vq import nearest_codes
+
+    h = patch_embed(x, params["patch_embed"]["kernel"],
+                    params["patch_embed"]["bias"], model.patch_size)
+    h = encoder_resblocks_fused(model, params, state, h,
+                                tile_rows=tile_rows)
+    z_e = center_tap_dense(h, params["sep_conv"]["w"],
+                           params["sep_conv"]["b"])
+    if model.use_improved_vq:
+        from . import vq_ema
+        return vq_ema.nearest_ema(z_e, state["vq"])
+    flat = z_e.reshape(-1, model.embedding_dim)
+    return nearest_codes(flat, params["vq"]["codebook"]).reshape(
+        z_e.shape[:-1])

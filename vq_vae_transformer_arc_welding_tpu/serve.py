@@ -29,7 +29,8 @@ class WeldingQualityPipeline:
     def __init__(self, vqvae, transformer, n_cycles: int,
                  max_batch: int = 64, precision: str = "f32",
                  start_token: int | None = None, mesh=None,
-                 encoder_precision: str = "f32"):
+                 encoder_precision: str = "f32",
+                 encoder_impl: str = "fused"):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 — call calibrate() with sample
         windows before classify; ~17% faster, label-identical).
@@ -61,6 +62,13 @@ class WeldingQualityPipeline:
         # contract) — measure the flip rate / label agreement on your
         # checkpoint first (models/quantized.encode_indices_quantized)
         self.encoder_precision = encoder_precision
+        # encoder_impl='fused' (default) runs the f32 resblock chain
+        # through the fused Pallas kernel (ops/pallas_encoder.py) —
+        # +15% end-to-end, 100% label agreement; indices can differ
+        # from the XLA path on ~0.25% of codes (gelu erf-approximation
+        # ulps at Voronoi boundaries). 'xla' keeps the exact
+        # bit-comparable-index path (data/latent.py always uses it).
+        self.encoder_impl = encoder_impl
         self.qenc = None
         self.n_cycles = n_cycles
         self.max_batch = max_batch
@@ -164,6 +172,10 @@ class WeldingQualityPipeline:
             ids = encode_indices_quantized(self.vq_model, self.qenc,
                                            self.vq_params, self.vq_state,
                                            cycles)
+        elif self.encoder_impl == "fused":
+            from .ops.pallas_encoder import encode_indices_fused
+            ids = encode_indices_fused(self.vq_model, self.vq_params,
+                                       self.vq_state, cycles)
         else:
             ids = self.vq_model.encode_indices(self.vq_params, self.vq_state,
                                                cycles)
