@@ -263,3 +263,10 @@ def test_fused_encoder_resblock_parity(rng):
                                                 tile_rows=64))
         flips = (ids_f != ids_k).mean()
         assert flips == 0.0, (bn, flips)
+        # mono variant (whole stack in one kernel; VMEM-bound to small
+        # configs on real TPU) must match the per-block kernel exactly
+        from vq_vae_transformer_arc_welding_tpu.ops.pallas_encoder import (
+            encode_indices_fused_mono)
+        ids_m = np.asarray(encode_indices_fused_mono(vq, params, state, x,
+                                                     tile_rows=64))
+        np.testing.assert_array_equal(ids_k, ids_m)

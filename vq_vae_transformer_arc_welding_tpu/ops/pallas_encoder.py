@@ -168,3 +168,116 @@ def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024):
     flat = z_e.reshape(-1, model.embedding_dim)
     return nearest_codes(flat, params["vq"]["codebook"]).reshape(
         z_e.shape[:-1])
+
+
+def _all_blocks_kernel(x_ref, w_ref, vec_ref, o_ref, *, n_blocks: int,
+                       use_bn: bool):
+    """All resblocks unrolled in one program; weights (2*n_blocks, C, C)
+    stay VMEM-resident across the row-tile grid."""
+    x = x_ref[...]
+    for i in range(n_blocks):
+        v = vec_ref[10 * i:10 * (i + 1)]
+        h = _gelu(x)
+        c = jax.lax.dot_general(
+            h, w_ref[2 * i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + v[0]
+        if use_bn:
+            c = _bn_eval(c, v[1], v[2], v[3], v[4])
+        h = _gelu(c)
+        c = jax.lax.dot_general(
+            h, w_ref[2 * i + 1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + v[5]
+        if use_bn:
+            c = _bn_eval(c, v[6], v[7], v[8], v[9])
+        x = x + c
+    o_ref[...] = x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "use_bn"))
+def fused_encoder_eval(x, weights, vecs, *, tile_rows: int = 1024,
+                       use_bn: bool = True, interpret: bool | None = None):
+    """The WHOLE encoder resblock stack as one kernel: weights
+    (2*n_blocks, C, C) resident in VMEM, x crosses HBM once total
+    instead of once per block.
+    vecs: (10*n_blocks, C) rows [b1, bn1x4, b2, bn2x4] per block.
+
+    NOTE: at the bench config (hidden 512, 8 resblocks) the ~17 MB of
+    f32 weights overflow VMEM and Mosaic fails to compile (measured,
+    BENCHMARKS.md round 4 "NOT adopted") — use the per-block
+    fused_resblock_eval there; this variant fits small-hidden
+    configs."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, c = x.shape
+    n_blocks = weights.shape[0] // 2
+
+    npad = -(-n // tile_rows) * tile_rows
+    if npad != n:
+        x = jnp.pad(x, ((0, npad - n), (0, 0)))
+    const = lambda i: (0, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_all_blocks_kernel, n_blocks=n_blocks,
+                          use_bn=use_bn),
+        grid=(npad // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n_blocks, c, c), const,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10 * n_blocks, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, c), jnp.float32),
+        interpret=interpret,
+    )(x, weights, vecs)
+    return out[:n] if npad != n else out
+
+
+def _pack_encoder(model, params, state):
+    """Stack every resblock's center-tap weights and vec rows for
+    fused_encoder_eval."""
+    ws, vs = [], []
+    bns = state.get("encoder_bn") if model.batch_norm else None
+    c = params["encoder"][0]["conv1_b"].shape[0]
+    zero = jnp.zeros((c,))
+    for i, blk in enumerate(params["encoder"]):
+        k1 = blk["conv1_w"].shape[-1] // 2
+        k2 = blk["conv2_w"].shape[-1] // 2
+        ws += [blk["conv1_w"][:, :, k1].T, blk["conv2_w"][:, :, k2].T]
+        if model.batch_norm:
+            s1, s2 = bns[i]["bn1"], bns[i]["bn2"]
+            vs += [blk["conv1_b"], s1.mean, s1.var, blk["bn1_scale"],
+                   blk["bn1_bias"], blk["conv2_b"], s2.mean, s2.var,
+                   blk["bn2_scale"], blk["bn2_bias"]]
+        else:
+            vs += [blk["conv1_b"], zero, zero, zero, zero,
+                   blk["conv2_b"], zero, zero, zero, zero]
+    return jnp.stack(ws), jnp.stack(vs)
+
+
+def encode_indices_fused_mono(model, params, state, x, *,
+                              tile_rows: int = 1024):
+    """encode_indices_fused with the whole resblock stack in ONE kernel
+    (fused_encoder_eval) instead of one kernel per block."""
+    from .patching import patch_embed
+    from .conv import center_tap_dense
+    from .vq import nearest_codes
+
+    h = patch_embed(x, params["patch_embed"]["kernel"],
+                    params["patch_embed"]["bias"], model.patch_size)
+    b, p, c = h.shape
+    weights, vecs = _pack_encoder(model, params, state)
+    flat = fused_encoder_eval(h.reshape(b * p, c), weights, vecs,
+                              tile_rows=tile_rows,
+                              use_bn=model.batch_norm)
+    z_e = center_tap_dense(flat.reshape(b, p, c), params["sep_conv"]["w"],
+                           params["sep_conv"]["b"])
+    if model.use_improved_vq:
+        from . import vq_ema
+        return vq_ema.nearest_ema(z_e, state["vq"])
+    flat_z = z_e.reshape(-1, model.embedding_dim)
+    return nearest_codes(flat_z, params["vq"]["codebook"]).reshape(
+        z_e.shape[:-1])
