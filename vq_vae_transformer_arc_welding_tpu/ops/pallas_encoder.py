@@ -148,18 +148,41 @@ def encoder_resblocks_fused(model, params, state, h, *,
     return flat.reshape(b, p, c)
 
 
-def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024):
+def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024,
+                         group_size: int | None = None):
     """VQVAEPatch.encode_indices with the resblock chain on the fused
     kernel (patch-embed, sep_conv and the VQ argmin stay on XLA —
-    they are single fused ops already)."""
+    they are single fused ops already).
+
+    group_size: resblocks per kernel call (a group's weights stay
+    VMEM-resident, so larger groups cut inter-block HBM traffic —
+    measured monotone 6,240/6,313/6,439 windows/s for groups 1/2/4 at
+    the bench config). Default: as many blocks as fit an ~8 MB weight
+    budget (group_size=n_resblocks — the mono kernel — overflows VMEM
+    at hidden 512 x 8 blocks)."""
     from .patching import patch_embed
     from .conv import center_tap_dense
     from .vq import nearest_codes
 
+    if group_size is None:
+        per_block = 2 * model.hidden_dim * model.hidden_dim * 4
+        group_size = max(1, (8 << 20) // per_block)
     h = patch_embed(x, params["patch_embed"]["kernel"],
                     params["patch_embed"]["bias"], model.patch_size)
-    h = encoder_resblocks_fused(model, params, state, h,
-                                tile_rows=tile_rows)
+    if group_size > 1:
+        b_, p_, c_ = h.shape
+        weights, vecs = _pack_encoder(model, params, state)
+        flat = h.reshape(b_ * p_, c_)
+        nb = len(params["encoder"])
+        for s0 in range(0, nb, group_size):
+            s1 = min(s0 + group_size, nb)
+            flat = fused_encoder_eval(
+                flat, weights[2 * s0:2 * s1], vecs[10 * s0:10 * s1],
+                tile_rows=tile_rows, use_bn=model.batch_norm)
+        h = flat.reshape(b_, p_, c_)
+    else:
+        h = encoder_resblocks_fused(model, params, state, h,
+                                    tile_rows=tile_rows)
     z_e = center_tap_dense(h, params["sep_conv"]["w"],
                            params["sep_conv"]["b"])
     if model.use_improved_vq:
