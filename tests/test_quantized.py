@@ -270,3 +270,10 @@ def test_fused_encoder_resblock_parity(rng):
         ids_m = np.asarray(encode_indices_fused_mono(vq, params, state, x,
                                                      tile_rows=64))
         np.testing.assert_array_equal(ids_k, ids_m)
+        # edges variant: patch-embed in the first kernel, sep_conv + VQ
+        # argmin (first-index tie-break emulation) in the last
+        from vq_vae_transformer_arc_welding_tpu.ops.pallas_encoder import (
+            encode_indices_fused_edges)
+        ids_e = np.asarray(encode_indices_fused_edges(
+            vq, params, state, x, tile_rows=64, group_size=1))
+        np.testing.assert_array_equal(ids_k, ids_e)

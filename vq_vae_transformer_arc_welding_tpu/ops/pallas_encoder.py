@@ -193,11 +193,7 @@ def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024,
         z_e.shape[:-1])
 
 
-def _all_blocks_kernel(x_ref, w_ref, vec_ref, o_ref, *, n_blocks: int,
-                       use_bn: bool):
-    """All resblocks unrolled in one program; weights (2*n_blocks, C, C)
-    stay VMEM-resident across the row-tile grid."""
-    x = x_ref[...]
+def _resblock_chain(x, w_ref, vec_ref, n_blocks, use_bn):
     for i in range(n_blocks):
         v = vec_ref[10 * i:10 * (i + 1)]
         h = _gelu(x)
@@ -213,7 +209,48 @@ def _all_blocks_kernel(x_ref, w_ref, vec_ref, o_ref, *, n_blocks: int,
         if use_bn:
             c = _bn_eval(c, v[6], v[7], v[8], v[9])
         x = x + c
-    o_ref[...] = x
+    return x
+
+
+def _all_blocks_kernel(x_ref, w_ref, vec_ref, o_ref, *, n_blocks: int,
+                       use_bn: bool):
+    """All resblocks unrolled in one program; weights (2*n_blocks, C, C)
+    stay VMEM-resident across the row-tile grid."""
+    o_ref[...] = _resblock_chain(x_ref[...], w_ref, vec_ref, n_blocks,
+                                 use_bn)
+
+
+def _entry_blocks_kernel(p_ref, wpe_ref, bpe_ref, w_ref, vec_ref, o_ref, *,
+                         n_blocks: int, use_bn: bool):
+    """patch-embed matmul + the first resblock group; the patch-embed
+    output never touches HBM."""
+    x = jax.lax.dot_general(
+        p_ref[...], wpe_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bpe_ref[0]
+    o_ref[...] = _resblock_chain(x, w_ref, vec_ref, n_blocks, use_bn)
+
+
+def _exit_blocks_kernel(x_ref, w_ref, vec_ref, wsep_ref, bsep_ref, cb_ref,
+                        o_ref, *, n_blocks: int, use_bn: bool):
+    """Last resblock group + sep_conv + VQ nearest-code argmin; emits
+    int32 ids directly. Distance expansion and first-index tie-break
+    match ops/vq.nearest_codes exactly (emulated argmin: masked
+    column-min — Mosaic has no argmin lowering)."""
+    x = _resblock_chain(x_ref[...], w_ref, vec_ref, n_blocks, use_bn)
+    z = jax.lax.dot_general(
+        x, wsep_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bsep_ref[0]
+    cb = cb_ref[...]                                   # (K, D)
+    d = (jnp.sum(z * z, axis=1, keepdims=True)
+         + jnp.sum(cb * cb, axis=1)
+         - 2.0 * jax.lax.dot_general(
+             z, cb, (((1,), (1,)), ((), ())),
+             preferred_element_type=jnp.float32))      # (R, K)
+    dmin = jnp.min(d, axis=1, keepdims=True)
+    k = d.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    ids = jnp.min(jnp.where(d <= dmin, col, k), axis=1)
+    o_ref[...] = ids[:, None].astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -304,3 +341,130 @@ def encode_indices_fused_mono(model, params, state, x, *,
     flat_z = z_e.reshape(-1, model.embedding_dim)
     return nearest_codes(flat_z, params["vq"]["codebook"]).reshape(
         z_e.shape[:-1])
+
+
+def _rowspec(tile_rows, c):
+    return pl.BlockSpec((tile_rows, c), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _constspec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "use_bn"))
+def fused_encoder_entry_eval(patches, w_pe, b_pe, weights, vecs, *,
+                             tile_rows: int = 1024, use_bn: bool = True,
+                             interpret: bool | None = None):
+    """patch-embed + first resblock group in one kernel: the patch-embed
+    output lives only in VMEM. patches: (N, patch) from ops.patching."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, pz = patches.shape
+    c = w_pe.shape[1]
+    n_blocks = weights.shape[0] // 2
+    npad = -(-n // tile_rows) * tile_rows
+    if npad != n:
+        patches = jnp.pad(patches, ((0, npad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_entry_blocks_kernel, n_blocks=n_blocks,
+                          use_bn=use_bn),
+        grid=(npad // tile_rows,),
+        in_specs=[
+            _rowspec(tile_rows, pz),
+            _constspec((pz, c)), _constspec((1, c)),
+            _constspec(tuple(weights.shape)),
+            _constspec(tuple(vecs.shape)),
+        ],
+        out_specs=_rowspec(tile_rows, c),
+        out_shape=jax.ShapeDtypeStruct((npad, c), jnp.float32),
+        interpret=interpret,
+    )(patches, w_pe, b_pe.reshape(1, c), weights, vecs)
+    return out[:n] if npad != n else out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "use_bn"))
+def fused_encoder_exit_eval(x, weights, vecs, w_sep, b_sep, codebook, *,
+                            tile_rows: int = 1024, use_bn: bool = True,
+                            interpret: bool | None = None):
+    """Last resblock group + sep_conv + VQ nearest-code in one kernel;
+    returns (N,) int32 ids."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, c = x.shape
+    d_emb = w_sep.shape[1]
+    n_blocks = weights.shape[0] // 2
+    npad = -(-n // tile_rows) * tile_rows
+    if npad != n:
+        x = jnp.pad(x, ((0, npad - n), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_exit_blocks_kernel, n_blocks=n_blocks,
+                          use_bn=use_bn),
+        grid=(npad // tile_rows,),
+        in_specs=[
+            _rowspec(tile_rows, c),
+            _constspec(tuple(weights.shape)),
+            _constspec(tuple(vecs.shape)),
+            _constspec((c, d_emb)), _constspec((1, d_emb)),
+            _constspec(tuple(codebook.shape)),
+        ],
+        out_specs=_rowspec(tile_rows, 1),
+        out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        interpret=interpret,
+    )(x, weights, vecs, w_sep, b_sep.reshape(1, d_emb), codebook)
+    out = out[:, 0]
+    return out[:n] if npad != n else out
+
+
+def encode_indices_fused_edges(model, params, state, x, *,
+                               tile_rows: int = 1024,
+                               group_size: int | None = None):
+    """encode_indices_fused with the pipeline edges fused in too:
+    patch-embed rides the first group kernel and sep_conv + VQ argmin
+    ride the last — cycles in, int32 ids out, nothing else in HBM
+    between kernel launches. Requires >= 2 groups (falls back to
+    encode_indices_fused otherwise). Classic-VQ models only (EMA VQ
+    keeps the XLA nearest_ema path)."""
+    from .patching import patchify
+
+    if model.use_improved_vq:
+        return encode_indices_fused(model, params, state, x,
+                                    tile_rows=tile_rows,
+                                    group_size=group_size)
+    if group_size is None:
+        per_block = 2 * model.hidden_dim * model.hidden_dim * 4
+        group_size = max(1, (8 << 20) // per_block)
+    nb = len(params["encoder"])
+    if nb < 2 * group_size:
+        return encode_indices_fused(model, params, state, x,
+                                    tile_rows=tile_rows,
+                                    group_size=group_size)
+
+    b = x.shape[0]
+    patches = patchify(x, model.patch_size)
+    n_p = patches.shape[1]
+    flat_p = patches.reshape(b * n_p, model.patch_size)
+    weights, vecs = _pack_encoder(model, params, state)
+    w_sep = params["sep_conv"]["w"]
+    w_sep = w_sep[:, :, w_sep.shape[-1] // 2].T
+
+    bounds = list(range(0, nb, group_size)) + [nb]
+    flat = fused_encoder_entry_eval(
+        flat_p, params["patch_embed"]["kernel"],
+        params["patch_embed"]["bias"],
+        weights[:2 * bounds[1]], vecs[:10 * bounds[1]],
+        tile_rows=tile_rows, use_bn=model.batch_norm)
+    for s0, s1 in zip(bounds[1:-2], bounds[2:-1]):
+        flat = fused_encoder_eval(
+            flat, weights[2 * s0:2 * s1], vecs[10 * s0:10 * s1],
+            tile_rows=tile_rows, use_bn=model.batch_norm)
+    s0 = bounds[-2]
+    ids = fused_encoder_exit_eval(
+        flat, weights[2 * s0:], vecs[10 * s0:], w_sep,
+        params["sep_conv"]["b"], params["vq"]["codebook"],
+        tile_rows=tile_rows, use_bn=model.batch_norm)
+    return ids.reshape(b, n_p)
