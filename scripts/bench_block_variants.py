@@ -108,6 +108,8 @@ def main():
             wps = batch * ITERS / best
             log(f"[b={batch}] {name}: best {best / ITERS * 1e3:.2f} ms/iter"
                 f" -> {wps:.0f} windows/s")
+        if "qkv" not in outs:
+            continue
         base = outs["qkv"]
         for name in variants:
             agree = (outs[name].argmax(-1) == base.argmax(-1)).mean()

@@ -277,3 +277,24 @@ def test_fused_encoder_resblock_parity(rng):
         ids_e = np.asarray(encode_indices_fused_edges(
             vq, params, state, x, tile_rows=64, group_size=1))
         np.testing.assert_array_equal(ids_k, ids_e)
+
+
+def test_int8_encoder_ema_vq(rng):
+    """encode_indices_quantized must dispatch to nearest_ema for
+    use_improved_vq models (regression: it crashed on the empty
+    params['vq'] dict)."""
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    from vq_vae_transformer_arc_welding_tpu.models.quantized import (
+        calibrate_encoder_absmax, quantize_encoder, encode_indices_quantized)
+
+    vq = VQVAEPatch(hidden_dim=32, input_dim=2, num_embeddings=16,
+                    embedding_dim=8, n_resblocks=1, learning_rate=1e-3,
+                    patch_size=25, use_improved_vq=True)
+    params, state = vq.init(0)
+    x = jnp.asarray(rng.standard_normal((8, 200, 2)), jnp.float32)
+    am = calibrate_encoder_absmax(vq, params, state, x)
+    qenc = quantize_encoder(vq, params, am)
+    ids = np.asarray(encode_indices_quantized(vq, qenc, params, state, x))
+    ref = np.asarray(vq.encode_indices(params, state, x))
+    assert ids.shape == ref.shape
+    assert (ids >= 0).all() and (ids < 16).all()

@@ -196,3 +196,37 @@ def test_serve_int8_encoder_precision(rng):
     base.calibrate(x[:4])
     lb, _ = base.classify(x)
     assert (labels == lb).mean() >= 5 / 6  # int8 encoder may flip rare codes
+
+
+def test_encode_tokens_bit_exact_and_int8_guard(rng):
+    """Public token API must use the exact XLA encoder (bit-comparable
+    to data/latent.py) even with the fused classify default; and
+    encoder_precision='int8' without calibrate() must raise, not fall
+    back silently."""
+    n_cycles = 2
+    vq = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                    embedding_dim=4, n_resblocks=1, learning_rate=1e-3)
+    vq_params, vq_state = vq.init(0)
+    seq_len = n_cycles * vq.enc_out_len + 1
+    tr = TransformerDecoder(d_model=16, n_classes=10, seq_len=seq_len,
+                            n_blocks=1, n_head=2)
+    tr_params, _ = tr.init(0)
+    x = np.asarray(rng.standard_normal((3, n_cycles * 200, 2)), np.float32)
+
+    pipe = WeldingQualityPipeline((vq, vq_params, vq_state),
+                                  (tr, tr_params), n_cycles, max_batch=4)
+    toks = pipe.encode_tokens(x)
+    import jax.numpy as jnp
+    ref = np.asarray(vq.encode_indices(
+        vq_params, vq_state,
+        jnp.asarray(x.reshape(-1, 200, 2)))).reshape(3, -1)
+    np.testing.assert_array_equal(toks, ref)
+
+    pipe8 = WeldingQualityPipeline((vq, vq_params, vq_state),
+                                   (tr, tr_params), n_cycles, max_batch=4,
+                                   encoder_precision="int8")
+    try:
+        pipe8.encode_tokens(x)
+        assert False, "expected RuntimeError without calibrate()"
+    except RuntimeError:
+        pass

@@ -537,5 +537,8 @@ def encode_indices_quantized(model, qenc, params, state, x):
                                     bns[i]["bn2"], train=False)
         h = h + c
     z_e = qdot(h, qenc["sep"])
+    if model.use_improved_vq:
+        from ..ops import vq_ema
+        return vq_ema.nearest_ema(z_e, state["vq"])
     flat = z_e.reshape(-1, model.embedding_dim)
     return nearest_codes(flat, params["vq"]["codebook"]).reshape(z_e.shape[:-1])

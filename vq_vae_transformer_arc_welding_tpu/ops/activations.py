@@ -12,8 +12,13 @@ import jax.numpy as jnp
 
 
 def new_gelu(x):
-    """GPT-2 tanh-approximate GELU (reference model/transformer_block.py:14-15)."""
-    return 0.5 * x * (1.0 + jnp.tanh(math.sqrt(2.0 / math.pi) * (x + 0.044715 * x**3)))
+    """GPT-2 tanh-approximate GELU (reference model/transformer_block.py:14-15).
+
+    x*x*x (not x**3) keeps the op free of integer_pow so the SAME
+    function is usable inside Pallas TPU kernel bodies (Mosaic lowers
+    mul but not integer_pow); the value is bit-identical."""
+    return 0.5 * x * (1.0 + jnp.tanh(
+        math.sqrt(2.0 / math.pi) * (x + 0.044715 * x * x * x)))
 
 
 def gelu(x):

@@ -43,20 +43,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SQRT_2_OVER_PI = 0.7978845608028654
-
-
-def _new_gelu(x):
-    # tanh-approx GELU (reference transformer_block.py:8-15)
-    return 0.5 * x * (1.0 + jnp.tanh(
-        _SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))
-
-
-def _ln(x, scale, bias, eps=1e-5):
-    # must match ops/norm.layer_norm bit-for-bit (same op order)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) / jnp.sqrt(var + eps) * scale + bias
+# plain-jnp helpers shared with the XLA paths — same functions, so the
+# interpret-mode bit-identity contract can't drift
+from .activations import new_gelu as _new_gelu
+from .norm import layer_norm as _ln
 
 
 def _q8(x, scale):
@@ -84,6 +74,12 @@ def _attn_core(qkv, n_head, d_head, t_valid, sm_scale, int8_attn=False):
     row = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     mask = (col <= row) & (col < t_valid)
+    if int8_attn and tp != t_valid:
+        # padded rows hold ln/bias-derived garbage, not zeros — zero
+        # them so they can't leak into the dynamic quantization scales
+        rvalid = jax.lax.broadcasted_iota(
+            jnp.int32, (tp, 1), 0) < t_valid
+        qkv = jnp.where(rvalid, qkv, 0.0)
     outs = []
     for h in range(n_head):
         q = qkv[:, h * d_head:(h + 1) * d_head]

@@ -23,13 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SQRT_2_OVER_PI = 0.7978845608028654
-
-
-def _new_gelu(x):
-    # tanh-approx GELU (reference transformer_block.py:8-15)
-    return 0.5 * x * (1.0 + jnp.tanh(
-        _SQRT_2_OVER_PI * (x + 0.044715 * x * x * x)))
+from .activations import new_gelu as _new_gelu
 
 
 def _kernel(scales_ref, h_ref, wfc_ref, bfc_ref, sfc_ref, wmp_ref, bmp_ref,

@@ -62,12 +62,14 @@ class WeldingQualityPipeline:
         # contract) — measure the flip rate / label agreement on your
         # checkpoint first (models/quantized.encode_indices_quantized)
         self.encoder_precision = encoder_precision
-        # encoder_impl='fused' (default) runs the f32 resblock chain
-        # through the fused Pallas kernel (ops/pallas_encoder.py) —
-        # +15% end-to-end, 100% label agreement; indices can differ
-        # from the XLA path on ~0.25% of codes (gelu erf-approximation
-        # ulps at Voronoi boundaries). 'xla' keeps the exact
-        # bit-comparable-index path (data/latent.py always uses it).
+        # encoder_impl='fused' (default) runs classify()'s f32 resblock
+        # chain through the fused Pallas kernel (ops/pallas_encoder.py)
+        # — +15% end-to-end, 100% label agreement; on-TPU indices can
+        # differ from the XLA path on ~0.25% of codes (gelu
+        # erf-approximation ulps at Voronoi boundaries), so the PUBLIC
+        # token API (encode_tokens) and calibration always use the
+        # exact XLA path, as does training (data/latent.py). 'xla'
+        # forces the exact path inside classify() too.
         self.encoder_impl = encoder_impl
         self.qenc = None
         self.n_cycles = n_cycles
@@ -155,35 +157,52 @@ class WeldingQualityPipeline:
     def from_checkpoints(cls, vqvae_ckpt: str, transformer_ckpt: str,
                          n_cycles: int = 20, max_batch: int = 64,
                          precision: str = "f32",
-                         start_token: int | None = None, mesh=None):
+                         start_token: int | None = None, mesh=None,
+                         encoder_precision: str = "f32",
+                         encoder_impl: str = "fused"):
         from .cli.shared import load_vqvae_any
         vq = load_vqvae_any(vqvae_ckpt)
         tr_model, tr_params, _ = TransformerDecoder.load(transformer_ckpt)
         return cls(vq, (tr_model, tr_params), n_cycles, max_batch,
-                   precision=precision, start_token=start_token, mesh=mesh)
+                   precision=precision, start_token=start_token, mesh=mesh,
+                   encoder_precision=encoder_precision,
+                   encoder_impl=encoder_impl)
 
     # -- jitted cores ------------------------------------------------------
 
+    def _encode_cycles(self, cycles, *, fused: bool):
+        if self.encoder_precision == "int8":
+            if self.qenc is None:
+                raise RuntimeError(
+                    "encoder_precision='int8' requires calibrate(sample) "
+                    "first")
+            from .models.quantized import encode_indices_quantized
+            return encode_indices_quantized(self.vq_model, self.qenc,
+                                            self.vq_params, self.vq_state,
+                                            cycles)
+        if fused and self.encoder_impl == "fused":
+            from .ops.pallas_encoder import encode_indices_fused
+            return encode_indices_fused(self.vq_model, self.vq_params,
+                                        self.vq_state, cycles)
+        return self.vq_model.encode_indices(self.vq_params, self.vq_state,
+                                            cycles)
+
     def _encode_fn(self, x):
+        # public token API (encode_tokens) and calibration: exact XLA
+        # encoder — ids stay bit-comparable to the training-time
+        # data/latent.py tokens (BASELINE.md contract). The fused
+        # kernel serves only classify(), whose label agreement is
+        # measured (BENCHMARKS.md round 4).
         b = x.shape[0]
         cycles = x.reshape(b * self.n_cycles, CYCLE_LEN, 2)
-        if self.encoder_precision == "int8" and self.qenc is not None:
-            from .models.quantized import encode_indices_quantized
-            ids = encode_indices_quantized(self.vq_model, self.qenc,
-                                           self.vq_params, self.vq_state,
-                                           cycles)
-        elif self.encoder_impl == "fused":
-            from .ops.pallas_encoder import encode_indices_fused
-            ids = encode_indices_fused(self.vq_model, self.vq_params,
-                                       self.vq_state, cycles)
-        else:
-            ids = self.vq_model.encode_indices(self.vq_params, self.vq_state,
-                                               cycles)
+        ids = self._encode_cycles(cycles, fused=False)
         return ids.reshape(b, self.n_cycles * self.vq_model.enc_out_len)
 
     def _classify_fn(self, x):
-        ids = self._encode_fn(x)
-        b = ids.shape[0]
+        b = x.shape[0]
+        cycles = x.reshape(b * self.n_cycles, CYCLE_LEN, 2)
+        ids = self._encode_cycles(cycles, fused=True)
+        ids = ids.reshape(b, self.n_cycles * self.vq_model.enc_out_len)
         ids = jnp.concatenate(
             [jnp.full((b, 1), self.start_token, ids.dtype), ids], axis=1)
         if self.precision == "int8":
