@@ -40,7 +40,7 @@ N_CYCLES = 20
 CYCLE_LEN = 200
 WARMUP = 3
 ITERS = 10
-GROUPS = 4  # report the best timing group: the tunneled TPU is shared,
+GROUPS = 6  # report the best timing group: the tunneled TPU is shared,
 #             and per-group contention variance is ~20% (measured)
 
 
