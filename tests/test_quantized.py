@@ -298,3 +298,32 @@ def test_int8_encoder_ema_vq(rng):
     ref = np.asarray(vq.encode_indices(params, state, x))
     assert ids.shape == ref.shape
     assert (ids >= 0).all() and (ids < 16).all()
+
+
+def test_fused_decode_attn_matches_xla_step(rng):
+    """Fused decode-step kernel (ops/pallas_decode.py): interpret mode
+    matches the XLA _attn_cached block half within float noise and
+    updates the caches identically. (Measured slower end-to-end than
+    the XLA step at the bench config — kept as a tested reference, see
+    module docstring.)"""
+    import jax.numpy as jnp
+    from vq_vae_transformer_arc_welding_tpu.ops.pallas_decode import (
+        fused_decode_attn)
+    from vq_vae_transformer_arc_welding_tpu.ops.norm import layer_norm
+
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=11, n_blocks=2,
+                           n_head=4)
+    params, _ = m.init(0)
+    B, H, T, D = 3, 4, 11, 8
+    blk = params["blocks"][0]
+    kc = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, 1, 32)), jnp.float32)
+    for pos in (0, 5, 10):
+        h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
+        a_ref, kc_ref, vc_ref = m._attn_cached(blk, h, kc, vc, pos)
+        xmid_ref = x + a_ref
+        xmid, kc2, vc2 = fused_decode_attn(x, blk, kc, vc, pos, n_head=H)
+        assert float(jnp.abs(xmid - xmid_ref).max()) < 1e-5, pos
+        np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc_ref))
+        np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc_ref))

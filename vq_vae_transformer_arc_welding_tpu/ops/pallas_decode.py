@@ -1,0 +1,155 @@
+"""Pallas TPU kernel: fused KV-cache decode step (attention half-block).
+
+The KV sampler's per-token cost decomposes as ~0.12 ms scan overhead +
+~0.12 ms weight streaming + a ~90-op serial chain of batch-16-sized
+XLA ops (BENCHMARKS.md round 4 "measured and NOT adopted",
+scan-over-blocks entry). This kernel collapses one block's attention
+half — ln1, qkv projection (bias folded via an augmented ones column),
+K/V cache write at `pos`, masked attention over the whole cache, output
+projection, residual add — into a single kernel per (block, token),
+with the caches updated IN PLACE via input/output aliasing (no
+(B, H, T, D) copies).
+
+Grid over B: per program the sample's (H, T, D) K/V cache slices and
+the block's weights (grid-resident, constant index maps) live in VMEM.
+`pos` arrives as a scalar-prefetch operand so the cache row index is
+dynamic without retracing.
+
+Math mirrors TransformerDecoder._attn_cached (models/transformer.py)
+in f32; logits equivalence vs the XLA step is tolerance-based, same
+contract as the KV sampler's forced-sequence test.
+
+MEASURED AND NOT ADOPTED (BENCHMARKS.md round 4): 1.23 vs 0.64
+ms/token at the bench config — the (1, H, T, D) cache BlockSpecs
+stream both full caches through VMEM (and back out) for every grid
+program, ~670 MB of forced cache traffic per token across the 8
+blocks, which swamps the ~35-op-per-block sequencing savings. XLA's
+dynamic-update-slice + einsum path touches the caches once. The
+sampler keeps the XLA step; this kernel stays as a correctness-tested
+reference for per-sample fused decoding (e.g. for much longer caches
+where VMEM residence across steps would pay).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .norm import layer_norm as _ln
+
+
+def _decode_body(pos_ref, x_ref, vp_ref, wq_ref, wp_ref, kc_ref, vc_ref,
+                 o_ref, kco_ref, vco_ref, *, n_head, d_head, sm_scale):
+    del kc_ref, vc_ref  # aliased with kco_ref / vco_ref
+    pos = pos_ref[0]
+    c = n_head * d_head
+    v = vp_ref[...]                     # (8, C): ln1_s, ln1_b, 0, proj_b
+    xa = x_ref[0, 0:1, :]               # (1, C+1), last column == 1.0
+    x = xa[:, :c]
+    h = _ln(x, v[0], v[1])
+    ha = jnp.concatenate([h, xa[:, c:]], axis=1)        # (1, C+1)
+    qkv = jax.lax.dot_general(
+        ha, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (1, 3C), bias folded
+    t = kco_ref.shape[2]
+    colv = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) <= pos
+    outs = []
+    for hh in range(n_head):
+        q = qkv[:, hh * d_head:(hh + 1) * d_head]
+        k = qkv[:, c + hh * d_head:c + (hh + 1) * d_head]
+        vv = qkv[:, 2 * c + hh * d_head:2 * c + (hh + 1) * d_head]
+        kco_ref[0, hh, pl.ds(pos, 1), :] = k.reshape(1, d_head)
+        vco_ref[0, hh, pl.ds(pos, 1), :] = vv.reshape(1, d_head)
+        kall = kco_ref[0, hh]                           # (T, D)
+        vall = vco_ref[0, hh]
+        s = jax.lax.dot_general(
+            q, kall, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (1, T)
+        s = jnp.where(colv, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p, vall, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l)    # (1, D)
+    y = jnp.concatenate(outs, axis=1)                   # (1, C)
+    proj = jax.lax.dot_general(
+        y, wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + v[3].reshape(1, c)
+    o_ref[0, 0:1, :] = x + proj
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def fused_decode_attn(x, blk, kc, vc, pos, *, n_head: int,
+                      interpret: bool | None = None):
+    """One block's attention half for a single decode token.
+
+    x: (B, 1, C) f32 residual stream entering the block.
+    blk: one entry of params['blocks'] (list layout, f32 weights).
+    kc/vc: (B, H, T, D) caches — updated in place at `pos` (donated via
+    input/output aliasing). pos: () int32.
+    Returns (x_mid (B, 1, C), kc, vc)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, _, c = x.shape
+    h_, t, d = kc.shape[1], kc.shape[2], kc.shape[3]
+    sm_scale = 1.0 / math.sqrt(d)
+    p = blk["attn"]
+    zero = jnp.zeros((c,), jnp.float32)
+    vpack = jnp.stack([blk["ln1_scale"], blk["ln1_bias"], zero,
+                       p["c_proj_b"], zero, zero, zero, zero]
+                      ).astype(jnp.float32)  # 8 rows (sublane tiling)
+    # fold the qkv bias into the matmul: append it as an extra weight
+    # row consumed by a constant ones column on the activations
+    w_qkv = jnp.concatenate(
+        [p["c_attn_w"].astype(jnp.float32),
+         p["c_attn_b"].astype(jnp.float32).reshape(1, -1)], axis=0)
+    xa = jnp.concatenate([x.reshape(b, c), jnp.ones((b, 1), jnp.float32)],
+                         axis=1)
+    # TPU block tiling needs the sublane dim divisible by 8: carry the
+    # token row as (B, 8, C+1) with rows 1-7 unused
+    xa = jnp.pad(xa[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    pos = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c + 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c + 1, 3 * c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_, t, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_, t, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_, t, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h_, t, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    out, kc2, vc2 = pl.pallas_call(
+        functools.partial(_decode_body, n_head=n_head, d_head=d,
+                          sm_scale=sm_scale),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)],
+        input_output_aliases={5: 1, 6: 2},
+        interpret=interpret,
+    )(pos, xa, vpack, w_qkv, p["c_proj_w"].astype(jnp.float32), kc, vc)
+    return out[:, 0:1, :], kc2, vc2
