@@ -35,6 +35,26 @@ def test_pipeline_classify_and_padding(tmp_path, rng):
     np.testing.assert_allclose(probs[5:], p2, rtol=1e-5, atol=1e-6)
 
 
+def test_small_requests_single_compile(tmp_path, rng):
+    """Varying sub-max_batch request sizes must all pad up to max_batch
+    and reuse ONE compiled graph (remote-TPU compiles cost 15s+; a
+    recompile per request size would dominate small-request latency)."""
+    pipe = _tiny_pipeline(tmp_path)  # max_batch=4
+    results = {}
+    for n in (1, 2, 3, 4, 5, 7):
+        x = rng.standard_normal((n, 2 * 200, 2)).astype(np.float32)
+        labels, probs = pipe.classify(x)
+        assert labels.shape == (n,) and probs.shape == (n, 2)
+        results[n] = probs
+    assert pipe._classify._cache_size() == 1, \
+        f"expected 1 compiled shape, got {pipe._classify._cache_size()}"
+    # padding rows must not leak into real outputs
+    x = rng.standard_normal((2, 2 * 200, 2)).astype(np.float32)
+    _, p_two = pipe.classify(x)
+    _, p_one = pipe.classify(x[:1])
+    np.testing.assert_allclose(p_two[:1], p_one, rtol=1e-5, atol=1e-6)
+
+
 def test_pipeline_tokens_and_ood(tmp_path, rng):
     pipe = _tiny_pipeline(tmp_path)
     x = rng.standard_normal((3, 2 * 200, 2)).astype(np.float32)

@@ -34,14 +34,17 @@ LATENT_TASKS = ("classification", "classification_ids", "autoregressive_ids",
 
 
 def _chunked_device_map(fn, x: np.ndarray, chunk: int = _ENCODE_CHUNK):
-    """Apply a jitted fn over fixed-size chunks (pad the tail so there
-    are at most two compiled shapes)."""
+    """Apply a jitted fn over fixed-size chunks. EVERY block — including
+    sub-chunk requests — is padded up to `chunk`, so fn compiles exactly
+    ONE shape regardless of request size (remote-TPU compiles cost 15s+;
+    a padded chunk of throwaway rows costs microseconds). Contract
+    asserted by tests/test_serve.py::test_small_requests_single_compile."""
     n = len(x)
     outs = []
     for s in range(0, n, chunk):
         block = x[s:s + chunk]
         pad = chunk - len(block)
-        if pad > 0 and n > chunk:
+        if pad > 0:
             block = np.concatenate([block, np.zeros((pad,) + block.shape[1:],
                                                     block.dtype)])
             outs.append(np.asarray(fn(jnp.asarray(block)))[:chunk - pad])

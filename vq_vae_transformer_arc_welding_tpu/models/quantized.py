@@ -239,8 +239,11 @@ def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
     (ops/pallas_block_quant.py): per block the residual stream crosses
     HBM once (x-in / x-out for full_block=True; plus the int8 fc input
     for the attn-half variant, whose MLP stays on XLA's fused chain).
-    Requires calibrated activation scales. Bit-identical numerics to
-    quantized_backbone in interpret mode (same op order throughout)."""
+    Requires calibrated activation scales. Int8 boundaries (h8, matmul
+    operands) bit-match quantized_backbone in interpret mode; f32
+    logits agree to ~1e-3 with identical labels (the in-kernel
+    attention normalizes after the PV matmul — see
+    ops/pallas_block_quant.py module docstring)."""
     from ..ops.activations import new_gelu
     from ..ops.norm import layer_norm
     from ..ops.pallas_block_quant import (fused_attn_block_quant,
@@ -276,8 +279,10 @@ def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
     kernels in bfloat16. Overrides fused_attention."""
     from ..ops.activations import gelu
     if block_fusion is not None:
-        assert not (fused_attention or fused_kw), \
-            "block_fusion replaces the fused_attention path"
+        if fused_attention or fused_kw:
+            raise ValueError(
+                "block_fusion replaces the fused_attention path; do not "
+                "combine it with fused_attention/fused_* options")
         bf, stream_dtype = block_fusion, None
         if bf.endswith("-bf16"):
             bf, stream_dtype = bf[:-5], jnp.bfloat16
@@ -289,7 +294,8 @@ def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
     elif fused_attention:
         x = quantized_backbone_fused(model, qparams, x_ids, **fused_kw)
     else:
-        assert not fused_kw, "fused_* options need fused_attention=True"
+        if fused_kw:
+            raise ValueError("fused_* options need fused_attention=True")
         x = quantized_backbone(model, qparams, x_ids)
     h = qdot(x, qparams["class_head"]["l1"])
     h = gelu(h.squeeze(-1))

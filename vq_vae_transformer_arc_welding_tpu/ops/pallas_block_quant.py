@@ -23,10 +23,13 @@ chain (measured faster than a Pallas MLP in isolation, BENCHMARKS.md
 MLP (the (T, 4C) intermediate never leaves VMEM) and returns only the
 next residual stream: x-in + x-out, the floor for this layer.
 
-Numerics: identical op order to models/quantized.py's unfused chain
-(layer_norm -> qdot -> attention -> qdot -> layer_norm -> qdot ->
-new_gelu -> qdot) with the same round/clip quantization, so interpret
-mode is bit-identical to the XLA int8 path (tests/test_quantized.py).
+Numerics: same round/clip quantization as models/quantized.py's
+unfused chain, so every int8 boundary (the h8 fc input, all quantized
+matmul operands) bit-matches the XLA int8 path in interpret mode.
+The f32 logits are NOT bit-identical: _attn_core applies the softmax
+denominator after the PV matmul ((p@V)/l) where the XLA path
+normalizes p first — tested contract is label equality with ~1e-3
+logit tolerance (tests/test_quantized.py::test_block_fusion_label_parity).
 Serving only — no dropout (the reference disables it at eval,
 transformer_block.py:79-82), no grads.
 

@@ -30,7 +30,7 @@ class WeldingQualityPipeline:
                  max_batch: int = 64, precision: str = "f32",
                  start_token: int | None = None, mesh=None,
                  encoder_precision: str = "f32",
-                 encoder_impl: str = "fused"):
+                 encoder_impl: str = "xla"):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 with whole-block Pallas fusion —
         call calibrate() with sample windows before classify; ~2x the
@@ -63,14 +63,17 @@ class WeldingQualityPipeline:
         # contract) — measure the flip rate / label agreement on your
         # checkpoint first (models/quantized.encode_indices_quantized)
         self.encoder_precision = encoder_precision
-        # encoder_impl='fused' (default) runs classify()'s f32 resblock
-        # chain through the fused Pallas kernel (ops/pallas_encoder.py)
-        # — +15% end-to-end, 100% label agreement; on-TPU indices can
-        # differ from the XLA path on ~0.25% of codes (gelu
-        # erf-approximation ulps at Voronoi boundaries), so the PUBLIC
-        # token API (encode_tokens) and calibration always use the
-        # exact XLA path, as does training (data/latent.py). 'xla'
-        # forces the exact path inside classify() too.
+        # encoder_impl='xla' (default) keeps classify()'s encoder on
+        # the exact XLA path so results are stable across versions.
+        # 'fused' (opt-in) runs the f32 resblock chain through the
+        # fused Pallas kernel (ops/pallas_encoder.py) — +15%
+        # end-to-end; on-TPU indices can differ from the XLA path on
+        # ~0.25% of codes (gelu erf-approximation ulps at Voronoi
+        # boundaries). The 100% label agreement backing 'fused' was
+        # measured on the bench checkpoint (BENCHMARKS.md round 4) —
+        # measure label agreement on YOUR checkpoint before opting in.
+        # The PUBLIC token API (encode_tokens) and calibration always
+        # use the exact XLA path, as does training (data/latent.py).
         self.encoder_impl = encoder_impl
         self.qenc = None
         self.n_cycles = n_cycles
@@ -101,13 +104,16 @@ class WeldingQualityPipeline:
         size, shard it, run fn per device via shard_map, crop."""
         from jax.sharding import NamedSharding, PartitionSpec as P
         try:
-            from jax import shard_map  # jax >= 0.6
+            from jax import shard_map  # jax >= 0.6: check_vma
+            sm_kw = {"check_vma": False}
         except ImportError:
+            # old experimental shard_map takes check_rep, not check_vma
             from jax.experimental.shard_map import shard_map
+            sm_kw = {"check_rep": False}
         mesh = self.mesh
         n_data = mesh.shape["data"]
         smfn = jax.jit(shard_map(fn, mesh=mesh, in_specs=P("data"),
-                                 out_specs=P("data"), check_vma=False))
+                                 out_specs=P("data"), **sm_kw))
         ds = NamedSharding(mesh, P("data"))
 
         def call(x):
@@ -160,7 +166,7 @@ class WeldingQualityPipeline:
                          precision: str = "f32",
                          start_token: int | None = None, mesh=None,
                          encoder_precision: str = "f32",
-                         encoder_impl: str = "fused"):
+                         encoder_impl: str = "xla"):
         from .cli.shared import load_vqvae_any
         vq = load_vqvae_any(vqvae_ckpt)
         tr_model, tr_params, _ = TransformerDecoder.load(transformer_ckpt)
@@ -223,8 +229,9 @@ class WeldingQualityPipeline:
     # -- public batched API ------------------------------------------------
 
     def _batched(self, fn, x: np.ndarray) -> np.ndarray:
-        """Run fn over fixed max_batch chunks (pad the tail) so at most
-        two graphs compile regardless of request size."""
+        """Run fn over fixed max_batch chunks (every block padded up to
+        max_batch) so exactly ONE graph compiles regardless of request
+        size — varying small requests never trigger recompiles."""
         from .data.latent import _chunked_device_map
         return _chunked_device_map(fn, x, chunk=self.max_batch)
 
