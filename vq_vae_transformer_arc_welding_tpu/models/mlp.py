@@ -20,7 +20,7 @@ class MLP(Module):
     def __init__(self, input_size: int, output_size: int, in_dim: int,
                  hidden_sizes: int, n_hidden_layers: int = 4,
                  dropout_p: float = 0.1, learning_rate: float = 1e-3,
-                 model_id: str = ""):
+                 model_id: str = "", compute_dtype=None):
         self.input_size = input_size
         self.output_size = output_size
         self.in_dim = in_dim
@@ -29,6 +29,9 @@ class MLP(Module):
         self.dropout_p = dropout_p
         self.learning_rate = learning_rate
         self.model_id = model_id
+        # runtime option (not an hparam): bf16 matmul inputs with f32
+        # accumulation; BN/activations/head output stay f32
+        self.compute_dtype = compute_dtype
         self.hparams = dict(input_size=input_size, output_size=output_size,
                             in_dim=in_dim, hidden_sizes=hidden_sizes,
                             n_hidden_layers=n_hidden_layers, dropout_p=dropout_p,
@@ -60,14 +63,19 @@ class MLP(Module):
         return params, state
 
     def apply(self, params, state, x, *, train=False, rng=None):
+        cd = self.compute_dtype
+        mm = ((lambda a, w: jnp.dot(a, w,
+                                    preferred_element_type=jnp.float32))
+              if cd is None else
+              (lambda a, w: jnp.dot(a.astype(cd), w.astype(cd),
+                                    preferred_element_type=jnp.float32)))
         x = x.reshape(x.shape[0], -1)
         new_bn = []
         for p, bn in zip(params["layers"], state["bn"]):
-            x = jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+            x = mm(x, p["w"]) + p["b"]
             x, s = batch_norm_apply(x, p["bn_scale"], p["bn_bias"], bn, train=train)
             new_bn.append(s)
             x = leaky_relu(x)
         x = dropout(rng, x, self.dropout_p, train)
-        logits = jnp.dot(x, params["head"]["w"],
-                         preferred_element_type=jnp.float32) + params["head"]["b"]
+        logits = mm(x, params["head"]["w"]) + params["head"]["b"]
         return logits, {"bn": new_bn}

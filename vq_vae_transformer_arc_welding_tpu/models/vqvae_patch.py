@@ -52,7 +52,8 @@ class VQVAEPatch(Module):
                  dropout_p: float = 0.1, patch_size: int = 25, seq_len: int = 200,
                  batch_norm: bool = True, beta: float = 0.25,
                  use_improved_vq: bool = False, kmeans_iters: int = 0,
-                 threshold_ema_dead_code: int = 2, vq_impl: str = "xla"):
+                 threshold_ema_dead_code: int = 2, vq_impl: str = "xla",
+                 compute_dtype=None):
         if patch_size not in INVERSE_PATCH_PLANS:
             raise NotImplementedError(f"Patch size not implemented: {patch_size}")
         self.hidden_dim = hidden_dim
@@ -71,6 +72,14 @@ class VQVAEPatch(Module):
         self.threshold_ema_dead_code = threshold_ema_dead_code
         # runtime option (not an hparam): 'xla' or 'pallas' nearest-code path
         self.vq_impl = vq_impl
+        # runtime option (not an hparam): compute_dtype=jnp.bfloat16 runs
+        # the conv/dense matmul INPUTS in bf16 with f32 MXU accumulation
+        # (2x matmul throughput); the residual stream, BatchNorm, GELU,
+        # VQ nearest-neighbor distances, and the loss all stay f32, so
+        # codebook indices remain computed from f32 distances. Mixed-
+        # precision TRAINING mode: master weights/optimizer stay f32
+        # (the cast happens inside the forward). None = exact f32.
+        self.compute_dtype = compute_dtype
         # tokens per cycle: 200//25 * 2 = 16 (reference :149)
         self.enc_out_len = seq_len // patch_size * input_dim
         self.n_patches = (seq_len * input_dim) // patch_size
@@ -148,6 +157,16 @@ class VQVAEPatch(Module):
 
     # -- forward pieces ---------------------------------------------------
 
+    def _cast_conv(self, conv_fn):
+        """Wrap a conv primitive so its matmul INPUTS run in
+        compute_dtype (bf16 multiply, f32 accumulate via the ops'
+        preferred_element_type=f32); identity when compute_dtype is
+        None. Bias adds stay f32."""
+        if self.compute_dtype is None:
+            return conv_fn
+        cd = self.compute_dtype
+        return lambda x, w, b: conv_fn(x.astype(cd), w.astype(cd), b)
+
     def _resblock(self, p, bn_state, x, conv_fn, *, train, rng):
         """GELU-conv-BN?-GELU-conv-BN?-dropout with residual add
         (reference vq_vae_patch_embedd.py:60-74)."""
@@ -176,13 +195,20 @@ class VQVAEPatch(Module):
 
     def encode(self, params, state, x, *, train=False, rng=None):
         """(B, seq_len, input_dim) -> z_e (B, enc_out_len, embedding_dim)."""
-        h = patch_embed(x, params["patch_embed"]["kernel"],
-                        params["patch_embed"]["bias"], self.patch_size)
+        cd = self.compute_dtype
+        pe = params["patch_embed"]
+        h = (patch_embed(x, pe["kernel"], pe["bias"], self.patch_size)
+             if cd is None else
+             patch_embed(x.astype(cd), pe["kernel"].astype(cd), pe["bias"],
+                         self.patch_size))
         bn = state.get("encoder_bn") if self.batch_norm else None
-        h, enc_bn = self._run_blocks(params["encoder"], bn, h, center_tap_dense,
+        ctd = self._cast_conv(center_tap_dense)
+        h, enc_bn = self._run_blocks(params["encoder"], bn, h, ctd,
                                      train=train, rng=rng)
-        # SepCNNBlock: shared 1x1 conv hidden->embed per position (:77-91)
-        z_e = center_tap_dense(h, params["sep_conv"]["w"], params["sep_conv"]["b"])
+        # SepCNNBlock: shared 1x1 conv hidden->embed per position (:77-91).
+        # z_e comes out f32 (accumulator dtype) — the VQ distance math
+        # downstream is always f32
+        z_e = ctd(h, params["sep_conv"]["w"], params["sep_conv"]["b"])
         return z_e, enc_bn
 
     def _nearest_fn(self):
@@ -204,13 +230,22 @@ class VQVAEPatch(Module):
 
     def decode(self, params, state, z_q, *, train=False, rng=None):
         """z_q (B, enc_out_len, D) -> x_hat (B, seq_len, input_dim)."""
-        h = center_tap_dense(z_q, params["decoder_in"]["w"],
-                             params["decoder_in"]["b"])
+        ctd = self._cast_conv(center_tap_dense)
+        h = ctd(z_q, params["decoder_in"]["w"], params["decoder_in"]["b"])
         bn = state.get("decoder_bn") if self.batch_norm else None
-        h, dec_bn = self._run_blocks(params["decoder"], bn, h, conv1d_same,
+        h, dec_bn = self._run_blocks(params["decoder"], bn, h,
+                                     self._cast_conv(conv1d_same),
                                      train=train, rng=rng)
+        inv = params["inverse"]
+        if self.compute_dtype is not None:
+            cd = self.compute_dtype
+            inv = dict(inv, ct1_kernel=inv["ct1_kernel"].astype(cd),
+                       ct2_kernel=inv["ct2_kernel"].astype(cd))
+            # patch_embed_inverse's einsums accumulate f32; cast only
+            # the first stage's input (the BN between stages re-floats)
+            h = h.astype(cd)
         x_hat, inv_bn = patch_embed_inverse(
-            h, params["inverse"], state["inverse_bn"], patch_size=self.patch_size,
+            h, inv, state["inverse_bn"], patch_size=self.patch_size,
             input_dim=self.input_dim, train=train)
         return x_hat, dec_bn, inv_bn
 

@@ -29,13 +29,18 @@ def conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.n
     """
     k = kernel.shape[-1]
     pad = (k - 1) // 2
+    # low-precision inputs (bf16 training mode) keep the conv's in/out
+    # dtypes equal — lax.conv's GRADIENT rule requires matching dtypes,
+    # unlike dot_general — then upcast; the bias add stays f32 either
+    # way. The MXU accumulates f32 internally regardless.
+    out_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     y = lax.conv_general_dilated(
-        x, jnp.transpose(kernel, (2, 1, 0)),  # (k, I, O)
+        x, jnp.transpose(kernel, (2, 1, 0)).astype(x.dtype),  # (k, I, O)
         window_strides=(1,), padding=[(pad, pad)],
         dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
-    return y + bias
+    return y.astype(jnp.float32) + bias
 
 
 def center_tap_dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
