@@ -69,7 +69,13 @@ class SynthDataModule:
 
 def _epoch_flops(task, tx, dm, trainer):
     """XLA's flop count for ONE compiled training epoch (includes fwd,
-    bwd, and optimizer update), via AOT cost analysis."""
+    bwd, and optimizer update), via AOT cost analysis.
+
+    XLA counts a lax.scan body ONCE regardless of trip count, so we
+    cost an epoch with a single accumulation group and scale by the
+    real epoch's group count (the outer scan is the only
+    count-dependent structure; the inner accumulation scan keeps its
+    real length)."""
     try:
         arrays = task.batch_arrays(dm.train)
         params, state = task.model.init(0)
@@ -79,12 +85,15 @@ def _epoch_flops(task, tx, dm, trainer):
         idx = trainer._train_indices(
             jax.random.PRNGKey(0), len(dm.train.x), dm.batch_size,
             dm.train_sampling, dm.drop_last)
-        lowered = epoch_fn.lower(params, state, opt_state, idx,
+        n_groups = idx.shape[0]
+        lowered = epoch_fn.lower(params, state, opt_state, idx[:1],
                                  jax.random.PRNGKey(1))
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", 0.0)) or None
+        flops = float(cost.get("flops", 0.0))
+        # the inner accumulation scan is ALSO counted once; scale it too
+        return (flops * n_groups * trainer.accum) or None
     except Exception as e:  # cost analysis is best-effort
         log(f"  (cost analysis unavailable: {e})")
         return None
