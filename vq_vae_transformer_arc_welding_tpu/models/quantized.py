@@ -156,7 +156,7 @@ def calibrate_activation_absmax(model, params, sample_ids,
     return am
 
 
-def quantized_backbone(model, qparams, x_ids):
+def quantized_backbone(model, qparams, x_ids, sat_stats: dict | None = None):
     from ..ops.activations import new_gelu
     from ..ops.attention import causal_attention_core, merge_heads, split_heads
     from ..ops.norm import layer_norm
@@ -165,18 +165,55 @@ def quantized_backbone(model, qparams, x_ids):
     # isolation (2.46 vs 3.92 ms at bench shape) but breaks XLA's fusion
     # of attention with the surrounding quant/dequant elementwise ops,
     # costing ~25% end-to-end (measured 2492 vs 3418 windows/s)
+    def sat(site, a, q):
+        # fraction of activations the calibrated scale CLIPS (round(x*s)
+        # outside ±127); a distribution shift beyond calibration×margin
+        # shows up here before it silently degrades labels
+        if sat_stats is not None and q.act_scale is not None:
+            sat_stats[site] = jnp.mean(
+                (jnp.abs(a) * q.act_scale) > 127.5)
+        return a
+
     t = x_ids.shape[1]
     x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
-    for blk in qparams["blocks"]:
+    for i, blk in enumerate(qparams["blocks"]):
         h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
-        qkv = qdot(h, blk["c_attn"])
+        qkv = qdot(sat(f"b{i}_attn_in", h, blk["c_attn"]), blk["c_attn"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (split_heads(z, model.n_head) for z in (q, k, v))
         y = merge_heads(causal_attention_core(q, k, v))
-        x = x + qdot(y, blk["c_proj"])
+        x = x + qdot(sat(f"b{i}_proj_in", y, blk["c_proj"]), blk["c_proj"])
         h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
-        x = x + qdot(new_gelu(qdot(h, blk["c_fc"])), blk["m_proj"])
+        mid = new_gelu(qdot(sat(f"b{i}_fc_in", h, blk["c_fc"]),
+                            blk["c_fc"]))
+        x = x + qdot(sat(f"b{i}_mproj_in", mid, blk["m_proj"]),
+                     blk["m_proj"])
     return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
+
+
+def saturation_stats(model, qparams, x_ids):
+    """Per-site clipped-activation fractions of the calibrated int8
+    path on `x_ids`, plus the overall mean — the serve-time guard
+    against silent distribution shift (scales clip anything beyond
+    calibration absmax × 1.25; see calibrate_activation_absmax).
+
+    Runs the unfused XLA int8 chain (same scales and quantization
+    points as the fused serving kernels — the int8 boundaries
+    bit-match, ops/pallas_block_quant.py). Returns (overall, per_site)
+    with device scalars; jit-compatible."""
+    from ..ops.activations import gelu
+    stats: dict = {}
+    x = quantized_backbone(model, qparams, x_ids, sat_stats=stats)
+    ch = qparams["class_head"]
+    if ch["l1"].act_scale is not None:
+        stats["l1_in"] = jnp.mean((jnp.abs(x) * ch["l1"].act_scale) > 127.5)
+    h = gelu(qdot(x, ch["l1"]).squeeze(-1))
+    if ch["l2"].act_scale is not None:
+        stats["l2_in"] = jnp.mean((jnp.abs(h) * ch["l2"].act_scale) > 127.5)
+    if not stats:
+        raise ValueError("saturation_stats needs calibrated act scales")
+    overall = sum(stats.values()) / len(stats)
+    return overall, stats
 
 
 def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,

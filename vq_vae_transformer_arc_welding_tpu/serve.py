@@ -26,11 +26,19 @@ class WeldingQualityPipeline:
     triples-or-pairs; use `from_checkpoints` for file-based loading.
     """
 
+    #: classify() warns (and sets needs_recalibration) when the
+    #: monitored clipped-activation fraction exceeds this. 1% clipped
+    #: activations is well past the measured graceful-degradation
+    #: envelope (tests/test_serve.py shifted-distribution case) —
+    #: recalibrate on recent windows or fall back to precision='f32'.
+    saturation_threshold: float = 0.01
+
     def __init__(self, vqvae, transformer, n_cycles: int,
                  max_batch: int = 64, precision: str = "f32",
                  start_token: int | None = None, mesh=None,
                  encoder_precision: str = "f32",
-                 encoder_impl: str = "xla"):
+                 encoder_impl: str = "xla",
+                 monitor_saturation: bool = False):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 with whole-block Pallas fusion —
         call calibrate() with sample windows before classify; ~2x the
@@ -78,6 +86,14 @@ class WeldingQualityPipeline:
         self.qenc = None
         self.n_cycles = n_cycles
         self.max_batch = max_batch
+        # monitor_saturation=True: every int8 classify() call also runs
+        # the saturation probe on its first chunk (one extra unfused
+        # int8 forward) and warns past saturation_threshold — the guard
+        # against silent calibration drift (scales clip beyond
+        # calibration×1.25; models/quantized.saturation_stats)
+        self.monitor_saturation = monitor_saturation
+        self.last_saturation_rate: float | None = None
+        self.needs_recalibration = False
         self.start_token = (start_token if start_token is not None
                             else self.vq_model.num_embeddings)
         self.mesh = mesh
@@ -98,6 +114,7 @@ class WeldingQualityPipeline:
             self._classify = self._sharded(self._classify_fn)
             self._encode = self._sharded(self._encode_fn)
             self._ood = self._sharded(ood_fn)
+        self._sat_probe = jax.jit(self._saturation_fn)
 
     def _sharded(self, fn):
         """Data-parallel wrapper: pad the batch to the 'data' axis
@@ -226,6 +243,48 @@ class WeldingQualityPipeline:
                                             generate=False)
         return jax.nn.softmax(logits, axis=-1)
 
+    def _saturation_fn(self, x):
+        from .models.quantized import saturation_stats
+        b = x.shape[0]
+        cycles = x.reshape(b * self.n_cycles, CYCLE_LEN, 2)
+        ids = self._encode_cycles(cycles, fused=False)
+        ids = ids.reshape(b, self.n_cycles * self.vq_model.enc_out_len)
+        ids = jnp.concatenate(
+            [jnp.full((b, 1), self.start_token, ids.dtype), ids], axis=1)
+        overall, per_site = saturation_stats(self.tr_model, self.qparams,
+                                             ids)
+        return overall, per_site
+
+    def saturation_rate(self, windows: np.ndarray):
+        """Clipped-activation fraction of the calibrated int8 path on
+        `windows` (up to max_batch of them): (overall, per_site dict).
+
+        0 on the calibration distribution; rises when serving drifts
+        beyond what calibrate() saw. Past saturation_threshold,
+        recalibrate on recent windows or serve precision='f32'."""
+        if self.qparams is None:
+            raise RuntimeError("saturation_rate requires calibrate() first")
+        x = np.asarray(windows, np.float32)[: self.max_batch]
+        pad = self.max_batch - len(x)
+        if pad > 0:  # same single-graph contract as _batched
+            x = np.concatenate(
+                [x] + [x[-1:]] * pad)  # repeat real data, not zeros
+        overall, per_site = self._sat_probe(jnp.asarray(x))
+        return float(overall), {k: float(v) for k, v in per_site.items()}
+
+    def _check_saturation(self, x):
+        import warnings
+        rate, _ = self.saturation_rate(x)
+        self.last_saturation_rate = rate
+        if rate > self.saturation_threshold:
+            self.needs_recalibration = True
+            warnings.warn(
+                f"int8 activation saturation {rate:.2%} exceeds "
+                f"{self.saturation_threshold:.2%}: serving distribution "
+                "has drifted beyond calibration — recalibrate() on "
+                "recent windows or fall back to precision='f32'",
+                RuntimeWarning, stacklevel=3)
+
     # -- public batched API ------------------------------------------------
 
     def _batched(self, fn, x: np.ndarray) -> np.ndarray:
@@ -238,7 +297,11 @@ class WeldingQualityPipeline:
     def classify(self, windows: np.ndarray):
         """windows: (N, n_cycles*200, 2) scaled cycles. Returns
         (labels (N,), probs (N, 2))."""
-        probs = self._batched(self._classify, np.asarray(windows, np.float32))
+        windows = np.asarray(windows, np.float32)
+        if (self.monitor_saturation and self.precision == "int8"
+                and self.qparams is not None):
+            self._check_saturation(windows)
+        probs = self._batched(self._classify, windows)
         return probs.argmax(-1), probs
 
     def encode_tokens(self, windows: np.ndarray) -> np.ndarray:
