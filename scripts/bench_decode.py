@@ -1,0 +1,88 @@
+"""KV-sampler decode benchmark: ms/token for the XLA step vs the
+fused whole-block Pallas decode kernel (ops/pallas_decode.py round-2,
+manual valid-prefix DMA + single-row write-back).
+
+Bench config matches serve.sample_tokens at the flagship model
+(d512 / 8 blocks / 8 heads, seq_len 321, batch 16): one prefill token
++ 320 KV-cached steps. The tunneled TPU is shared (~20% variance), so
+the best of --groups timing groups is reported.
+
+Usage: python scripts/bench_decode.py [--impls xla fused] [--steps 320]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from vq_vae_transformer_arc_welding_tpu.models import TransformerDecoder
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", nargs="+", default=["xla", "fused"])
+    ap.add_argument("--steps", type=int, default=320)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--groups", type=int, default=4)
+    ap.add_argument("--d-model", type=int, default=512)
+    ap.add_argument("--n-blocks", type=int, default=8)
+    args = ap.parse_args()
+
+    seq = 20 * 16 + 1
+    m = TransformerDecoder(d_model=args.d_model, n_classes=258, seq_len=seq,
+                           n_blocks=args.n_blocks, n_head=8)
+    params, _ = m.init(0)
+    start = jnp.full((args.batch, 1), 256, jnp.int32)
+    dev = jax.devices()[0]
+    log(f"backend: {dev.platform}:{dev.device_kind}, batch {args.batch}, "
+        f"{args.steps} steps")
+
+    results = {}
+    outs = {}
+    for impl in args.impls:
+        fn = jax.jit(lambda p, s, impl=impl: m.generate_kv(
+            p, s, do_sample=True, top_k=5, rng=jax.random.PRNGKey(7),
+            num_steps=args.steps, decode_impl=impl))
+        t0 = time.perf_counter()
+        out = fn(params, start)
+        jax.block_until_ready(out)
+        log(f"{impl}: compile+first {time.perf_counter() - t0:.1f}s")
+        outs[impl] = np.asarray(out)
+        best = float("inf")
+        for _ in range(args.groups):
+            t0 = time.perf_counter()
+            out = fn(params, start)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        ms_tok = best / args.steps * 1e3
+        log(f"{impl}: {best:.3f}s total -> {ms_tok:.3f} ms/token")
+        results[impl] = round(ms_tok, 4)
+
+    if len(outs) == 2 and "xla" in outs and "fused" in outs:
+        agree = float((outs["xla"] == outs["fused"]).mean())
+        log(f"sampled-id agreement fused vs xla: {agree:.4f}")
+        results["id_agreement"] = round(agree, 4)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

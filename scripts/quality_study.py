@@ -55,19 +55,34 @@ from vq_vae_transformer_arc_welding_tpu.train.torch_import import (  # noqa: E40
     export_vqvae_to_lightning, load_vqvae_checkpoint)
 
 # ---------------------------------------------------------------------------
-# study configuration (small enough for CPU, big enough to learn)
+# study configuration (round 2)
+#
+# Classifiers run the REFERENCE defaults (hidden 758, 6 layers, 30
+# epochs, bs 512, n_cycles 5, clip 0.42 — reference
+# train_classification_model.py:177-186). The VQ-VAE stays reduced
+# (hidden 64): the reference config (hidden 512, 8 resblocks, bs 1024,
+# 50 epochs) costs hours/seed for the torch twin on this 1-CPU host and
+# recon-loss parity has no scale-dependent failure mode flagged.
+#
+# The transformer runs the full reference SCHEDULE (epoch_iter 3 x
+# (15 gen + 2 class) + 10 finetune, bs 16, accumulate 5 — reference
+# train_transformer_mtasks.py:213-236) at half width/depth/context
+# (d256, 4 blocks, n_cycles 10): the full d512/8-block/n20 config
+# measures 134 s/step for the torch twin on this host (~2000 CPU-hours
+# for 5 seeds — infeasible; recorded in QUALITY.md). The JAX leg runs
+# in a subprocess on the default backend (TPU) — scripts/tr_jax_leg.py.
 
-DATA = dict(n_cycles_per_run=100, extra_train_runs=10, seed=0)
+DATA = dict(n_cycles_per_run=400, extra_train_runs=10, seed=0)
 VQ = dict(hidden=64, k=32, d=8, n_res=2, patch=25, epochs=15, bs=128,
           lr=1e-3, clip=0.7, dropout=0.1)
-MLP_RAW = dict(n_cycles=1, hidden=64, layers=2, epochs=20, bs=64, lr=1e-3,
+MLP_RAW = dict(n_cycles=5, hidden=758, layers=6, epochs=30, bs=512, lr=1e-3,
                clip=0.42, dropout=0.032015121309774644)
-GRU_RAW = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64, lr=1e-3,
+GRU_RAW = dict(n_cycles=5, hidden=758, layers=6, epochs=30, bs=512, lr=1e-3,
                clip=0.42, dropout=0.032015121309774644)
-MLP_LATENT = dict(n_cycles=3, hidden=64, layers=2, epochs=20, bs=64,
+MLP_LATENT = dict(n_cycles=5, hidden=758, layers=6, epochs=30, bs=512,
                   lr=1e-3, clip=0.42, dropout=0.032015121309774644)
-TR = dict(n_cycles=5, d_model=128, blocks=2, heads=4, epoch_iter=2,
-          gen_epochs=5, class_epochs=3, finetune_epochs=15, bs=32, lr=1e-3)
+TR = dict(n_cycles=10, d_model=256, blocks=4, heads=8, epoch_iter=3,
+          gen_epochs=15, class_epochs=2, finetune_epochs=10, bs=16, lr=1e-3)
 
 
 def _ids():
@@ -241,19 +256,24 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
 
 
 def study_transformer(data_dir, seed, vq_ckpt):
-    args = cli_tr.build_parser().parse_args([
-        "--epoch_iter", str(TR["epoch_iter"]),
-        "--batch-size", str(TR["bs"]), "--n-cycles", str(TR["n_cycles"]),
-        "--d-model", str(TR["d_model"]), "--n-heads", str(TR["heads"]),
-        "--n-blocks", str(TR["blocks"]),
-        "--gen-epochs", str(TR["gen_epochs"]),
-        "--class-epoch", str(TR["class_epochs"]),
-        "--finetune-epochs", str(TR["finetune_epochs"]),
-        "--vqvae-model", vq_ckpt,
-        "--data-dir", data_dir, "--seed", str(seed)])
-    run, results = cli_tr.main(args)
-    jx = {"test/cl/f1_score": float(results["class_test"]["test/cl/f1_score"]),
-          "gen/loss": float(results["gen_test"]["test/loss"])}
+    # JAX leg in a subprocess on the default backend (TPU when
+    # available) — this process's jax is pinned to CPU for the
+    # bit-equality legs; see scripts/tr_jax_leg.py
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "tr_jax_leg.py"),
+         "--tr-json", json.dumps(TR), "--data-dir", data_dir,
+         "--vqvae-model", vq_ckpt, "--seed", str(seed)],
+        capture_output=True, text=True, cwd=os.getcwd())
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("TRLEG_RESULT ")]
+    if proc.returncode != 0 or not line:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise RuntimeError("tr_jax_leg subprocess failed")
+    leg = json.loads(line[-1][len("TRLEG_RESULT "):])
+    print(f"  jax leg backend: {leg['backend']}", flush=True)
+    jx = {"test/cl/f1_score": leg["test/cl/f1_score"],
+          "gen/loss": leg["gen/loss"]}
 
     torch.manual_seed(seed + 2)
     val_ids, test_ids = _ids()
@@ -356,7 +376,7 @@ def run_study(out_dir, seeds):
     return all_results
 
 
-def write_quality_md(results, path):
+def write_quality_md(results, path, ref_scale=None):
     seeds = sorted(results)
 
     def agg(component, side, metric):
@@ -391,31 +411,59 @@ def write_quality_md(results, path):
         rows.append(f"| {label} | `{metric}` | {tm:.4f} ± {ts:.4f} | "
                     f"{jm:.4f} ± {js:.4f} | {delta:+.4f} | {ok} |")
 
-    tr_note = ""
     tf1 = [(results[s]["transformer"]["jax"]["test/cl/f1_score"],
             results[s]["transformer"]["torch"]["test/cl/f1_score"])
            for s in seeds]
-    if any(v == 0.0 for pair in tf1 for v in pair):
-        tr_note = (
-            "\n**Transformer class-head note**: at this deliberately small "
-            "study scale the two-stage class head (d→1, seq→2, GPT-2 0.02 "
-            "init) lands in constant-predictor attractors (F1 0 = all-bad, "
-            f"F1 ≈ 0.80 = all-good) on BOTH stacks — per-seed outcomes: "
-            f"{tf1}. The dynamics themselves are bit-equal between the "
-            "stacks (tests/test_grad_parity.py::test_transformer_radam_"
-            "trajectory_matches_torch: 30 RAdam+clip+accumulate steps, both "
-            "tasks, max loss drift ~1e-6), so the attractor draw is "
-            "training-stochasticity luck, identical in distribution. The "
-            "gen-loss row shows the trained backbones agree.\n")
+    degen = sum(v == 0.0 for pair in tf1 for v in pair)
+    tr_note = (
+        f"\n**Transformer class-head outcomes** (per-seed (jax, torch) "
+        f"`test/cl/f1_score`): {[(round(a, 3), round(b, 3)) for a, b in tf1]}"
+        f" — {degen} of {2 * len(seeds)} runs degenerate (constant "
+        "predictor). The per-step training math is bit-equal between the "
+        "stacks (tests/test_grad_parity.py::test_transformer_radam_"
+        "trajectory_matches_torch, max loss drift ~1e-6 over 30 "
+        "RAdam+clip+accumulate steps), so outcome differences are "
+        "training-stochasticity draws, identical in distribution.\n")
 
     rt = results[seeds[0]].get("roundtrip", {})
+    ref_md = ""
+    if ref_scale:
+        rs_rows = "\n".join(
+            f"| {s} | {r['test/cl/f1_score']:.4f} | {r['gen/loss']:.4f} |"
+            for s, r in sorted(ref_scale["seeds"].items()))
+        n_nondeg = sum(r["test/cl/f1_score"] > 0.0
+                       for r in ref_scale["seeds"].values())
+        ref_md = f"""
+## JAX-only reference-scale training (TPU)
+
+The EXACT reference transformer config — d512, 8 blocks, 8 heads,
+n_cycles 20 (seq_len 321), epoch_iter 3 x (15 gen + 2 class) +
+10 finetune, bs 16, accumulate 5 — trained end-to-end by this
+framework's CLI on the TPU ({ref_scale.get('backend', 'tpu')}), on the
+same synthetic dataset recipe ({ref_scale.get('data', '')}). No torch
+baseline at this scale (134 s/step — see note above); the short-
+trajectory bit-parity test at this exact config is the cross-stack
+anchor.
+
+| seed | `test/cl/f1_score` | `gen/loss` |
+|---|---|---|
+{rs_rows}
+
+{n_nondeg}/{len(ref_scale['seeds'])} seeds non-degenerate.
+Reproduce: `python scripts/quality_ref_scale.py`.
+"""
     md = f"""# QUALITY — trained-quality parity vs the reference pipeline
 
 Side-by-side training of the full pipeline on an **identical synthetic
 ASIMoW CSV** (schema per `asimow_dataloader.py:240-246`; generator
 `data/synthetic.py`, seed {DATA['seed']},
 {DATA['n_cycles_per_run']} cycles/run, {DATA['extra_train_runs']} extra
-train runs), seeds {seeds}, CPU on this host for both sides.
+train runs), seeds {seeds}. Torch side on host CPU throughout; this
+framework's legs run on CPU for the bit-equality components and on the
+**TPU** (the target hardware) for the transformer leg
+(scripts/tr_jax_leg.py subprocess). Classifiers use the reference
+entry-point DEFAULT hparams (hidden 758, 6 layers, 30 epochs, bs 512 —
+reference train_classification_model.py:177-186).
 
 - **reference side**: the reference architectures in torch
   (state_dict-compatible twins, `tests/torch_twins.py`) trained with a
@@ -436,7 +484,20 @@ train runs), seeds {seeds}, CPU on this host for both sides.
   max loss drift ~1e-6 over 30 RAdam+clip+accumulate steps), so
   residual deltas isolate sampling/dropout stochasticity.
 
-Reproduce: `python scripts/quality_study.py` (~30-60 min CPU).
+Reproduce: `python scripts/quality_study.py` (several hours: the torch
+twins train on 1 CPU core; the d256/4-block transformer twin alone is
+~2.2 s/step).
+
+**Reference-scale note**: the transformer study runs the FULL reference
+schedule (3 x (15 gen + 2 class) + 10 finetune, bs 16, accumulate 5)
+at half width/depth/context (d256 / 4 blocks / n_cycles 10). The full
+d512 / 8-block / n_cycles-20 config measures **134 s/step for the
+torch twin on this 1-CPU host** (~2,000 CPU-hours for a 5-seed both-
+stacks study — infeasible here). Reference-scale evidence is instead
+provided by (a) the short-trajectory bit-parity test at the exact
+reference config (tests/test_grad_parity.py::
+test_transformer_trajectory_reference_scale) and (b) the JAX-only
+reference-scale training below, which runs on the TPU.
 
 ## Results (mean ± std over {len(seeds)} seeds)
 
@@ -447,7 +508,7 @@ Reproduce: `python scripts/quality_study.py` (~30-60 min CPU).
 **Contract**: classification F1 within 0.5 pts of the reference
 (`BASELINE.md`). Overall: **{"PASS" if ok_overall else "FAIL"}**
 (F1 deltas compared against 0.005 + cross-side seed noise).
-{tr_note}
+{tr_note}{ref_md}
 
 ## Checkpoint round-trip (both ways, bit-equal index contract)
 
@@ -491,13 +552,19 @@ def _shrink_for_smoke():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/quality_study")
-    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     ap.add_argument("--smoke", action="store_true",
                     help="tiny configs, flow check only")
     ap.add_argument("--md-out", default=os.path.join(REPO, "QUALITY.md"))
+    ap.add_argument("--ref-scale-json", default=None,
+                    help="merge scripts/quality_ref_scale.py results")
     a = ap.parse_args()
     if a.smoke:
         _shrink_for_smoke()
     results = run_study(a.out_dir, a.seeds)
-    ok = write_quality_md(results, a.md_out)
+    ref_scale = None
+    if a.ref_scale_json and os.path.exists(a.ref_scale_json):
+        with open(a.ref_scale_json) as f:
+            ref_scale = json.load(f)
+    ok = write_quality_md(results, a.md_out, ref_scale=ref_scale)
     sys.exit(0 if ok and not a.smoke else (0 if a.smoke else 1))

@@ -43,6 +43,7 @@ _SLOW = {
     "test_ts2vec_eval_classification",
     "test_flash_attention_grads_match_xla",
     "test_transformer_radam_trajectory_matches_torch",
+    "test_transformer_trajectory_reference_scale",
     "test_hierarchical_loss_matches_torch",
     "test_transformer_gen_trajectory_matches_torch",
     "test_weight_decay_skips_out_of_graph_params",

@@ -307,3 +307,104 @@ def test_transformer_radam_trajectory_matches_torch(rng):
             params = optax.apply_updates(params, updates)
             g_acc, cnt = None, 0
     assert max_d < 5e-5, f"trajectory diverged: max loss diff {max_d}"
+
+
+def test_transformer_trajectory_reference_scale(rng):
+    """Short-trajectory bit-parity at the EXACT reference transformer
+    config (d512, 8 blocks, 8 heads, seq_len 321 — reference
+    train_transformer_mtasks.py:213-236 with the BASELINE.json 8-block
+    config): 6 RAdam+decay-split+clip+accumulate steps, 3 per task,
+    from identical weights on identical batches.
+
+    The full torch-side TRAINING at this scale is infeasible on this
+    1-CPU host (134 s/step measured — QUALITY.md); this test is the
+    cross-stack anchor showing the training math is equivalent at
+    reference scale, complementing scripts/quality_ref_scale.py's
+    JAX-only trained result."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+    D, T, K, NB, NH = 512, 321, 258, 8, 8
+    torch.manual_seed(0)
+    twin = TwinTransformer(D, K, T, NB, NH)
+    for mod in twin.modules():
+        if isinstance(mod, torch.nn.Dropout):
+            mod.p = 0.0
+    model = TransformerDecoder(d_model=D, n_classes=K, seq_len=T,
+                               n_blocks=NB, n_head=NH, res_dropout=0.0)
+    params, _ = ti.transformer_params_from_state_dict(twin.state_dict(),
+                                                      n_blocks=NB)
+
+    N, bs, accum = 8, 2, 2
+    ids = rng.integers(0, 256, (N, T - 1))
+    x = np.concatenate([np.full((N, 1), 256), ids], 1).astype(np.int64)
+    y = np.concatenate([ids, np.full((N, 1), 257)], 1).astype(np.int64)
+    cond = (ids.mean(1) > 128).astype(np.int64)
+    order = rng.permutation(N)
+
+    decay, no_decay = [], []
+    for mn, m_ in twin.named_modules():
+        for pn, p in m_.named_parameters(recurse=False):
+            fpn = f"{mn}.{pn}" if mn else pn
+            if pn.endswith("bias") or isinstance(
+                    m_, (torch.nn.LayerNorm, torch.nn.Embedding)):
+                no_decay.append(fpn)
+            elif pn.endswith("weight") and isinstance(m_, torch.nn.Linear):
+                decay.append(fpn)
+    pd = dict(twin.named_parameters())
+    opt = torch.optim.RAdam(
+        [{"params": [pd[n] for n in sorted(decay)], "weight_decay": 0.1},
+         {"params": [pd[n] for n in sorted(no_decay)], "weight_decay": 0.0}],
+        lr=1e-3, betas=(0.9, 0.95))
+
+    from vq_vae_transformer_arc_welding_tpu.train.optim import (
+        make_transformer_optimizer)
+    tx = make_transformer_optimizer(model, params, clip_norm=0.8)
+    opt_state = tx.init(params)
+
+    def make_loss(generate):
+        def loss_fn(p, xb, tb, cb):
+            logits, _ = model.apply(p, None, xb, train=False,
+                                    generate=generate)
+            return (model.loss_gen(logits, tb) if generate
+                    else model.loss_class(logits, cb))
+        return loss_fn
+
+    grad_gen = jax.jit(jax.value_and_grad(make_loss(True)))
+    grad_cls = jax.jit(jax.value_and_grad(make_loss(False)))
+
+    twin.train()
+    opt.zero_grad()
+    g_acc, cnt = None, 0
+    max_d = 0.0
+    for b in range(6):
+        gen = b < 3
+        sl = order[(b % 4) * bs:((b % 4) + 1) * bs]
+        xb = torch.from_numpy(x[sl])
+        if gen:
+            logits = twin(xb, generate=True)
+            lt = torch.nn.functional.cross_entropy(
+                logits.reshape(-1, K), torch.from_numpy(y[sl]).reshape(-1),
+                ignore_index=-1)
+        else:
+            lt = torch.nn.functional.cross_entropy(
+                twin(xb, generate=False), torch.from_numpy(cond[sl]))
+        (lt / accum).backward()
+        gfn = grad_gen if gen else grad_cls
+        lj, g = gfn(params, jnp.asarray(x[sl], jnp.int32),
+                    jnp.asarray(y[sl], jnp.int32),
+                    jnp.asarray(cond[sl], jnp.int32))
+        g_acc = (g if g_acc is None else
+                 jax.tree_util.tree_map(jnp.add, g_acc, g))
+        cnt += 1
+        max_d = max(max_d, abs(float(lt.detach()) - float(lj)))
+        if cnt == accum:
+            torch.nn.utils.clip_grad_norm_(twin.parameters(), 0.8)
+            opt.step()
+            opt.zero_grad()
+            gm = jax.tree_util.tree_map(lambda a: a / accum, g_acc)
+            updates, opt_state = tx.update(gm, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            g_acc, cnt = None, 0
+    assert max_d < 2e-4, \
+        f"reference-scale trajectory diverged: max loss diff {max_d}"

@@ -330,6 +330,24 @@ class TransformerDecoder(Module):
                     preferred_element_type=jnp.float32) + p["c_proj_b"]
         return y, k_cache, v_cache
 
+    def _token_step_fused(self, params, tok, pos, caches):
+        """_token_step with every block as ONE Pallas kernel
+        (ops/pallas_decode.fused_block_decode): caches stay in HBM, the
+        kernel DMAs only the valid prefix and writes back one row.
+        Same math; logits agree to fp tolerance."""
+        from ..ops.pallas_decode import fused_block_decode
+        x = jnp.take(params["tok_emb"], tok, axis=0)[:, None, :] \
+            + jnp.take(self.pe, pos, axis=0)[None, None, :]
+        new_caches = []
+        for blk, (k_c, v_c) in zip(params["blocks"], caches):
+            x, k_c, v_c = fused_block_decode(x, blk, k_c, v_c, pos,
+                                             n_head=self.n_head)
+            new_caches.append((k_c, v_c))
+        x = layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
+        logits = jnp.dot(x[:, 0], params["lm_head_w"],
+                         preferred_element_type=jnp.float32)
+        return logits, new_caches
+
     def _token_step(self, params, tok, pos, caches):
         """Embed one token at absolute position `pos` and run all
         blocks against the KV caches. Returns (logits_row, new_caches)."""
@@ -388,7 +406,8 @@ class TransformerDecoder(Module):
 
     def generate_kv(self, params, x_ids, *, do_sample: bool = False,
                     top_k: int | None = None, rng=None,
-                    num_steps: int | None = None):
+                    num_steps: int | None = None,
+                    decode_impl: str = "xla"):
         """KV-cached autoregressive sampling; same output contract as
         `generate` for any prompt length and step count.
 
@@ -399,6 +418,11 @@ class TransformerDecoder(Module):
         transformer_decoder.py:203-224) the remaining steps fall back to
         the full-window recompute, which is the only way to match the
         cropped positional embeddings exactly.
+
+        decode_impl: 'xla' (default, exact reference-equal f32 chain)
+        or 'fused' (one Pallas kernel per block per token,
+        ops/pallas_decode.fused_block_decode — same math, logits to fp
+        tolerance, so sampled ids can differ at probability ties).
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -416,6 +440,9 @@ class TransformerDecoder(Module):
                                         do_sample=do_sample, top_k=top_k)
 
         cache_len = self.seq_len
+        if decode_impl == "fused":
+            from ..ops.pallas_decode import DECODE_CHUNK
+            cache_len = -(-self.seq_len // DECODE_CHUNK) * DECODE_CHUNK
         hd = self.d_model // self.n_head
         caches = [(jnp.zeros((b, self.n_head, cache_len, hd)),
                    jnp.zeros((b, self.n_head, cache_len, hd)))
@@ -426,6 +453,9 @@ class TransformerDecoder(Module):
         for k_c, v_c in caches:
             flat.extend([k_c, v_c])
 
+        token_step = (self._token_step_fused if decode_impl == "fused"
+                      else self._token_step)
+
         def step(carry, key):
             buf, cur, logits, *flat_caches = carry
             caches = [(flat_caches[2 * i], flat_caches[2 * i + 1])
@@ -435,7 +465,7 @@ class TransformerDecoder(Module):
                 buf, nxt[:, None].astype(buf.dtype), (0, cur))
             # logits for the appended token (the clamp only ever fires on
             # the final KV step, whose logits are never consumed)
-            new_logits, caches = self._token_step(
+            new_logits, caches = token_step(
                 params, nxt.astype(jnp.int32),
                 jnp.minimum(cur, cache_len - 1), caches)
             flat2 = []

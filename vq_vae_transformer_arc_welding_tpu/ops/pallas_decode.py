@@ -153,3 +153,199 @@ def fused_decode_attn(x, blk, kc, vc, pos, *, n_head: int,
         interpret=interpret,
     )(pos, xa, vpack, w_qkv, p["c_proj_w"].astype(jnp.float32), kc, vc)
     return out[:, 0:1, :], kc2, vc2
+
+
+# -- round-2 kernel: whole block, HBM caches, manual valid-prefix DMA --------
+#
+# v1 above fails on cache traffic: VMEM BlockSpec outputs always write the
+# WHOLE block, so each grid program streamed its full (1, H, T, D) caches
+# in AND back out (~670 MB/token over 8 blocks). Here the caches stay in
+# HBM (pl.ANY), the kernel DMAs in only ceil((pos+1)/CHUNK) row-chunks of
+# each cache (average traffic ~halves over a generation), and writes back
+# exactly ONE row per cache — the new token's K/V — via a second DMA.
+# The whole transformer block (ln1 -> qkv -> cached attention -> proj ->
+# residual -> ln2 -> fc -> new_gelu -> mproj -> residual) runs in ONE
+# kernel, so the ~10 XLA launches per block per token become 1.
+#
+# Cache length must be a multiple of DECODE_CHUNK (pad with zeros; the
+# position mask keeps padding out of the softmax). Rows beyond the DMA'd
+# prefix hold stale scratch garbage; V is sanitized with a row mask so
+# exp(-inf)=0 never multiplies a NaN.
+
+DECODE_CHUNK = 128
+
+
+def _block_decode_body(pos_ref, xa_ref, vp_ref, wq_ref, wp_ref, wf_ref,
+                       wm_ref, kc_hbm, vc_hbm, o_ref, kco_hbm, vco_hbm,
+                       ks_ref, vs_ref, krow_ref, vrow_ref, sem,
+                       *, n_head, d_head, sm_scale):
+    from .activations import new_gelu as _gelu
+    del kc_hbm, vc_hbm  # aliased with kco_hbm / vco_hbm
+    i = pl.program_id(0)
+    pos = pos_ref[0]
+    c = n_head * d_head
+    t = ks_ref.shape[2]
+
+    # manual DMA: only the chunks covering rows [0, pos] come to VMEM
+    n_chunks = pos // DECODE_CHUNK + 1
+
+    def copy_chunk(ci, _):
+        for src, dst in ((kco_hbm, ks_ref), (vco_hbm, vs_ref)):
+            dma = pltpu.make_async_copy(
+                src.at[pl.ds(i, 1), :,
+                       pl.ds(ci * DECODE_CHUNK, DECODE_CHUNK), :],
+                dst.at[:, :, pl.ds(ci * DECODE_CHUNK, DECODE_CHUNK), :],
+                sem)
+            dma.start()
+            dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, copy_chunk, 0)
+
+    v = vp_ref[...]            # (8, C): ln1_s, ln1_b, ln2_s, ln2_b,
+    #                            proj_b, mproj_b, 0, 0
+    xa = xa_ref[0, 0:1, :]     # (1, C+1), last column == 1.0
+    x = xa[:, :c]
+    h = _ln(x, v[0], v[1])
+    ha = jnp.concatenate([h, xa[:, c:]], axis=1)          # (1, C+1)
+    qkv = jax.lax.dot_general(
+        ha, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (1, 3C)
+
+    # append this token's K/V to the VMEM copies and stage the rows for
+    # the single-row HBM write-back
+    k_new = qkv[:, c:2 * c].reshape(1, n_head, 1, d_head)
+    v_new = qkv[:, 2 * c:].reshape(1, n_head, 1, d_head)
+    ks_ref[:, :, pl.ds(pos, 1), :] = k_new
+    vs_ref[:, :, pl.ds(pos, 1), :] = v_new
+    krow_ref[...] = k_new
+    vrow_ref[...] = v_new
+
+    # sanitize V beyond pos: rows past the DMA'd prefix are stale
+    # scratch garbage; probs there are exactly 0, but 0 * NaN = NaN
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t, 1), 2)
+    vs_ref[...] = jnp.where(rows <= pos, vs_ref[...], 0.0)
+
+    colv = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) <= pos
+    outs = []
+    for hh in range(n_head):
+        q = qkv[:, hh * d_head:(hh + 1) * d_head]
+        s = jax.lax.dot_general(
+            q, ks_ref[0, hh], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale    # (1, T)
+        s = jnp.where(colv, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p, vs_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / l)          # (1, D)
+    y = jnp.concatenate(outs, axis=1)                         # (1, C)
+    x_mid = x + jax.lax.dot_general(
+        y, wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + v[4].reshape(1, c)
+
+    h2 = _ln(x_mid, v[2], v[3])
+    h2a = jnp.concatenate([h2, xa[:, c:]], axis=1)            # (1, C+1)
+    mid = _gelu(jax.lax.dot_general(
+        h2a, wf_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))                  # (1, 4C)
+    x_out = x_mid + jax.lax.dot_general(
+        mid, wm_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + v[5].reshape(1, c)
+    o_ref[0, 0:1, :] = x_out
+
+    # single-row cache write-back (the v1 failure was writing the WHOLE
+    # cache block back per program)
+    for src, dst in ((krow_ref, kco_hbm), (vrow_ref, vco_hbm)):
+        dma = pltpu.make_async_copy(
+            src, dst.at[pl.ds(i, 1), :, pl.ds(pos, 1), :], sem)
+        dma.start()
+        dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "interpret"))
+def fused_block_decode(x, blk, kc, vc, pos, *, n_head: int,
+                       interpret: bool | None = None):
+    """One WHOLE transformer block for a single decode token, caches in
+    HBM with valid-prefix DMA and single-row write-back.
+
+    x: (B, 1, C) f32 residual stream entering the block.
+    blk: one entry of params['blocks'] (list layout).
+    kc/vc: (B, H, T, D) f32 caches, T a multiple of DECODE_CHUNK —
+    updated in place at `pos` (donate for true aliasing). pos: () int32.
+    Returns (x_out (B, 1, C), kc, vc). Same math as
+    TransformerDecoder._token_step's block body (models/transformer.py).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, _, c = x.shape
+    h_, t, d = kc.shape[1], kc.shape[2], kc.shape[3]
+    if t % DECODE_CHUNK:
+        raise ValueError(f"cache length {t} must be a multiple of "
+                         f"{DECODE_CHUNK} (pad it)")
+    sm_scale = 1.0 / math.sqrt(d)
+    p = blk["attn"]
+    m = blk["mlp"]
+    zero = jnp.zeros((c,), jnp.float32)
+    vpack = jnp.stack([blk["ln1_scale"], blk["ln1_bias"],
+                       blk["ln2_scale"], blk["ln2_bias"],
+                       p["c_proj_b"], m["c_proj_b"], zero, zero]
+                      ).astype(jnp.float32)
+    w_qkv = jnp.concatenate(
+        [p["c_attn_w"].astype(jnp.float32),
+         p["c_attn_b"].astype(jnp.float32).reshape(1, -1)], axis=0)
+    w_fc = jnp.concatenate(
+        [m["c_fc_w"].astype(jnp.float32),
+         m["c_fc_b"].astype(jnp.float32).reshape(1, -1)], axis=0)
+    xa = jnp.concatenate([x.reshape(b, c), jnp.ones((b, 1), jnp.float32)],
+                         axis=1)
+    xa = jnp.pad(xa[:, None, :], ((0, 0), (0, 7), (0, 0)))
+    pos = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 8, c + 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c + 1, 3 * c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c + 1, 4 * c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * c, c), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # kc (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vc (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # kc out (aliased)
+            pl.BlockSpec(memory_space=pltpu.ANY),   # vc out (aliased)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, h_, t, d), jnp.float32),  # K prefix
+            pltpu.VMEM((1, h_, t, d), jnp.float32),  # V prefix
+            pltpu.VMEM((1, h_, 1, d), jnp.float32),  # new K row stage
+            pltpu.VMEM((1, h_, 1, d), jnp.float32),  # new V row stage
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out, kc2, vc2 = pl.pallas_call(
+        functools.partial(_block_decode_body, n_head=n_head, d_head=d,
+                          sm_scale=sm_scale),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+                   jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+                   jax.ShapeDtypeStruct(vc.shape, vc.dtype)],
+        input_output_aliases={7: 1, 8: 2},
+        interpret=interpret,
+    )(pos, xa, vpack, w_qkv, p["c_proj_w"].astype(jnp.float32), w_fc,
+      m["c_proj_w"].astype(jnp.float32), kc, vc)
+    return out[:, 0:1, :], kc2, vc2
