@@ -210,11 +210,18 @@ def main():
             if built is None:
                 continue
             task, tx, dm, accum = built
-            row = time_config(f"{name}/{dtype}", task, tx, dm,
-                              epochs=args.epochs, accum=accum)
+            try:
+                row = time_config(f"{name}/{dtype}", task, tx, dm,
+                                  epochs=args.epochs, accum=accum)
+            except Exception as e:  # keep the sweep alive per config
+                log(f"{name}/{dtype} FAILED: {type(e).__name__}: "
+                    f"{str(e)[:300]}")
+                row = {"config": f"{name}/{dtype}",
+                       "error": f"{type(e).__name__}: {str(e)[:200]}"}
             row["dtype"] = dtype
             out.append(row)
-    print(json.dumps(out, indent=2))
+            print(json.dumps(out, indent=2), flush=True)
+    print("FINAL " + json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -532,6 +532,19 @@ latent arrays equal this framework's materialized latents bit-for-bit
 | Transformer | d_model {TR['d_model']}, {TR['blocks']} blocks, {TR['heads']} heads, n_cycles {TR['n_cycles']} (seq_len {TR['n_cycles'] * 16 + 1}), {TR['epoch_iter']} iters x ({TR['gen_epochs']} gen + class), finetune {TR['finetune_epochs']}, accumulate 5, clip 0.8 |
 
 Raw per-seed numbers: `results.json` in the study output directory.
+
+## Real ASIMoW dataset: blocked (zero egress)
+
+The reference is demonstrated on the ASIMoW dataset (Zenodo record
+10017718, `/root/reference/README.md:14-54`). Download was attempted
+from this environment on 2026-08-17 and is **blocked at DNS**
+(`urllib`/`curl` to zenodo.org: "Name or service not known" — the bench
+host has no network egress). All quality numbers therefore use
+`data/synthetic.py`, which follows the documented dataset schema
+(per-cycle 200-sample current/voltage windows, run/experiment ids, the
+8+8 val/test split table, class imbalance with rare bad-quality runs,
+and cycle morphology built from the arc-welding waveform shape:
+short-circuit spike + arc phase) rather than white noise.
 """
     with open(path, "w") as f:
         f.write(md)

@@ -1,11 +1,24 @@
 """Synthetic ASIMoW-schema dataset generator (test strategy, SURVEY.md §4).
 
 Emits a CSV with the reference schema — three id columns then
-V_0..V_199, I_0..I_199 (asimow_dataloader.py:240-246) — with
-label-dependent waveform structure so classifiers have real signal:
-good cycles (label 1) are clean current/voltage arcs, bad cycles
-(label 0) carry dropouts and harmonic distortion, and a fraction is
-unlabeled (-1) like the real dataset.
+V_0..V_199, I_0..I_199 (asimow_dataloader.py:240-246). The real
+dataset (Zenodo 10017718) could not be downloaded from this
+environment (zero network egress — QUALITY.md), so the generator
+follows the DOCUMENTED structure of short-arc GMAW process data the
+dataset records:
+
+- each 200-sample cycle is one short-circuit transfer period: a
+  short-circuit phase (voltage collapses toward the wetting voltage
+  while current ramps along the source inductance) followed by arc
+  re-ignition (voltage spike, current decaying toward the background
+  level);
+- quality is a RUN-level property (the reference labels whole welding
+  runs): bad runs carry a high fraction of defective cycles, good runs
+  a low one — not i.i.d. per-cycle labels;
+- defective cycles show the documented instability signatures:
+  irregular short-circuit timing, re-ignition failures (voltage
+  dropouts), spatter-like current spikes and harmonic ripple;
+- a fraction of cycles is unlabeled (-1) like the real dataset.
 """
 from __future__ import annotations
 
@@ -18,20 +31,61 @@ from .splits import get_val_test_ids
 
 
 def synthetic_cycles(rng: np.random.Generator, n: int, labels: np.ndarray):
-    t = np.linspace(0, 2 * np.pi, CYCLE_LEN)
-    phase = rng.uniform(0, 2 * np.pi, (n, 1))
-    v = 28.0 + 4.0 * np.sin(t + phase) + 0.4 * rng.standard_normal((n, CYCLE_LEN))
-    i = 220.0 + 60.0 * np.cos(t + phase) + 4.0 * rng.standard_normal((n, CYCLE_LEN))
-    bad = labels == 0
+    """Short-arc GMAW cycles: (V (n, 200), I (n, 200)) float32.
+
+    labels: 1 = good (stable transfer), 0 = bad (process instability).
+    """
+    k = CYCLE_LEN
+    ts = np.arange(k)[None, :]
+    good = labels != 0
+    # short-circuit length: stable ~28 samples for good cycles,
+    # erratic for bad ones (irregular droplet transfer)
+    sc_len = np.where(good, rng.normal(28.0, 2.0, n),
+                      rng.normal(30.0, 9.0, n)).clip(8, 70)[:, None]
+    in_sc = ts < sc_len
+
+    # voltage: wetting (~3 V) during short circuit, re-ignition spike,
+    # then arc voltage ~27 V with slight droop
+    arc_t = (ts - sc_len).clip(0)
+    v = np.where(
+        in_sc,
+        3.0 + 1.2 * rng.standard_normal((n, k)) * 0.3,
+        27.0 + 9.0 * np.exp(-arc_t / 6.0)      # re-ignition peak
+        - 2.0 * (arc_t / k)                     # droop toward next short
+    )
+    # current: ramps up along the inductance during the short circuit,
+    # peaks at re-ignition, decays to the background current
+    i_peak = np.where(good, rng.normal(420.0, 15.0, n),
+                      rng.normal(420.0, 45.0, n))[:, None]
+    i_bg = 60.0
+    ramp = i_bg + (i_peak - i_bg) * (ts / sc_len).clip(0, 1) ** 1.5
+    decay = i_bg + (i_peak - i_bg) * np.exp(-arc_t / 45.0)
+    i = np.where(in_sc, ramp, decay)
+
+    # measurement noise
+    v += 0.5 * rng.standard_normal((n, k))
+    i += 4.0 * rng.standard_normal((n, k))
+
+    bad = ~good
     if bad.any():
         nb = int(bad.sum())
-        # dropouts + third-harmonic distortion on bad welds
-        v[bad] += 3.0 * np.sin(3 * t + phase[bad]) \
-            + rng.standard_normal((nb, CYCLE_LEN)) * 1.5
-        drop_start = rng.integers(20, CYCLE_LEN - 40, nb)
-        for row, s in zip(np.where(bad)[0], drop_start):
-            v[row, s:s + 20] *= 0.3
-            i[row, s:s + 20] *= 0.5
+        tb = ts.repeat(nb, axis=0)
+        # harmonic ripple (arc wander) on both channels
+        ph = rng.uniform(0, 2 * np.pi, (nb, 1))
+        v[bad] += 2.5 * np.sin(2 * np.pi * 3 * tb / k + ph) \
+            + 1.2 * rng.standard_normal((nb, k))
+        i[bad] += 20.0 * np.sin(2 * np.pi * 5 * tb / k + ph)
+        # re-ignition failures: voltage collapses mid-arc for a stretch
+        drop_start = rng.integers(60, k - 40, nb)
+        drop_len = rng.integers(10, 35, nb)
+        spike_pos = rng.integers(40, k - 10, nb)
+        rows = np.where(bad)[0]
+        for row, s, ln, sp in zip(rows, drop_start, drop_len, spike_pos):
+            v[row, s:s + ln] *= 0.25
+            i[row, s:s + ln] *= 1.4          # current surges into the short
+            # spatter: brief current spike with voltage pop
+            i[row, sp:sp + 4] += rng.normal(150.0, 30.0)
+            v[row, sp:sp + 4] += rng.normal(6.0, 2.0)
     return v.astype(np.float32), i.astype(np.float32)
 
 
@@ -46,9 +100,16 @@ def make_synthetic_arrays(n_cycles_per_run: int = 60, seed: int = 0,
     runs += [(1, 100 + k) for k in range(extra_train_runs)]
 
     all_v, all_i, all_l, all_e, all_r = [], [], [], [], []
-    for exp, run in runs:
+    for ri, (exp, run) in enumerate(runs):
         n = n_cycles_per_run
-        labels = (rng.random(n) > bad_fraction).astype(np.int64)
+        # quality is a RUN-level property (the reference labels whole
+        # welding runs): alternate run quality deterministically so
+        # every split sees both classes, with per-cycle fractions drawn
+        # around the run's quality level
+        run_is_bad = ri % 3 == 1
+        frac = (rng.uniform(0.55, 0.85) if run_is_bad
+                else rng.uniform(0.05, bad_fraction))
+        labels = (rng.random(n) > frac).astype(np.int64)
         unl = rng.random(n) < unlabeled_fraction
         labels[unl] = -1
         lab_for_signal = np.where(labels == -1,
