@@ -156,11 +156,14 @@ def build(name, dtype, rng):
     if name == "gru_raw":
         if dtype == "bf16":
             return None  # GRU keeps f32 (sequential scan, not MXU-bound)
-        model = GRU(input_size=CYCLE_LEN * 5, in_dim=2, output_size=2,
+        # reference GRU layout: seq_len = n_cycles (5), in_dim = 400
+        # (whole cycles as timesteps — reference
+        # train_classification_model.py:90-92), hidden 758, 6 layers
+        model = GRU(input_size=5, in_dim=400, output_size=2,
                     hidden_sizes=758, n_hidden_layers=6, dropout_p=0.032,
                     learning_rate=1e-3)
-        x = rng.standard_normal((4096, 5 * CYCLE_LEN * 2)).astype(np.float32)
-        y = rng.integers(0, 2, (4096,)).astype(np.int64)
+        x = rng.standard_normal((32768, 5 * CYCLE_LEN * 2)).astype(np.float32)
+        y = rng.integers(0, 2, (32768,)).astype(np.int64)
         dm = SynthDataModule(x, y, batch_size=512,
                              weights=np.ones(len(x), np.float32))
         task = ClassificationTask(model)

@@ -1,0 +1,68 @@
+"""Subprocess runner for the quality study's JAX legs on the TPU.
+
+quality_study.py forces its own jax onto CPU (its bit-equality
+assertions — twin latents vs framework latents, checkpoint roundtrip
+indices — need one device class). The TRAINING legs themselves carry
+no bit-equality contract (the quality metric is trained F1/loss), so
+each CLI leg runs here in a fresh process on the DEFAULT backend (the
+TPU when available) — which is both the target hardware and what makes
+reference-default hparams feasible wall-clock on this 1-CPU host.
+
+Invoked by quality_study.py; emits one `CLILEG_RESULT {json}` line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402  (NOT forced to CPU — default backend)
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cli", required=True,
+                    choices=["recon", "class", "transformer"])
+    ap.add_argument("--argv-json", required=True,
+                    help="JSON list of CLI argv tokens")
+    a = ap.parse_args()
+    argv = json.loads(a.argv_json)
+
+    if a.cli == "recon":
+        from vq_vae_transformer_arc_welding_tpu.cli import (
+            train_reconstruction_embedding as cli)
+        result, test_metrics = cli.main(cli.build_parser().parse_args(argv))
+        out = {"val/loss": float(result.best_score),
+               "test/loss": float(test_metrics["test/loss"]),
+               "test/recon_error": float(test_metrics["test/recon_error"]),
+               "best_ckpt_path": os.path.abspath(result.best_ckpt_path)}
+    elif a.cli == "class":
+        from vq_vae_transformer_arc_welding_tpu.cli import (
+            train_classification_model as cli)
+        result, test_metrics = cli.main(cli.build_parser().parse_args(argv))
+        out = {"val/f1_score_mean": float(result.best_score),
+               "test/f1_score_mean": float(
+                   test_metrics["test/f1_score_mean"])}
+    else:
+        from vq_vae_transformer_arc_welding_tpu.cli import (
+            train_transformer_mtasks as cli)
+        _, results = cli.main(cli.build_parser().parse_args(argv))
+        out = {"test/cl/f1_score": float(
+                   results["class_test"]["test/cl/f1_score"]),
+               "gen/loss": float(results["gen_test"]["test/loss"])}
+    out["backend"] = jax.devices()[0].platform
+    print("CLILEG_RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,13 @@
 """Quality-parity study: this framework vs the reference pipeline.
 
 Trains the full reference pipeline twice on an identical synthetic
-ASIMoW CSV — once with this framework's CLI entry points (JAX/TPU
-semantics, here forced onto CPU for a fair same-host comparison), once
-with the reference architectures in torch via scripts/torch_reference.py
-(Lightning-semantics loop; the real Lightning stack is not installed in
-this image) — and writes QUALITY.md with side-by-side metrics.
+ASIMoW CSV — once with this framework's CLI entry points (run on the
+TPU via scripts/cli_leg.py subprocesses; this process's jax stays on
+CPU for the bit-equality checks), once with the reference
+architectures in torch via scripts/torch_reference.py
+(Lightning-semantics loop on host CPU; the real Lightning stack is not
+installable in this image) — and writes QUALITY.md with side-by-side
+metrics.
 
 Also exercises the checkpoint round-trip both ways:
 - JAX-trained VQ-VAE -> exported Lightning .ckpt -> torch twin encodes
@@ -41,10 +43,6 @@ import torch_reference as tref  # noqa: E402
 from torch_twins import (TwinGRU, TwinMLP, TwinTransformer,  # noqa: E402
                          TwinVQVAEPatch)
 
-from vq_vae_transformer_arc_welding_tpu.cli import (  # noqa: E402
-    train_classification_model as cli_class,
-    train_reconstruction_embedding as cli_recon,
-    train_transformer_mtasks as cli_tr)
 from vq_vae_transformer_arc_welding_tpu.cli.shared import (  # noqa: E402
     get_latent_dataloader, parse_split_ids)
 from vq_vae_transformer_arc_welding_tpu.data import (  # noqa: E402
@@ -66,13 +64,16 @@ from vq_vae_transformer_arc_welding_tpu.train.torch_import import (  # noqa: E40
 #
 # The transformer runs the full reference SCHEDULE (epoch_iter 3 x
 # (15 gen + 2 class) + 10 finetune, bs 16, accumulate 5 — reference
-# train_transformer_mtasks.py:213-236) at half width/depth/context
-# (d256, 4 blocks, n_cycles 10): the full d512/8-block/n20 config
+# train_transformer_mtasks.py:213-236) at reduced width/depth/context
+# (d192, 4 blocks, n_cycles 10): the full d512/8-block/n20 config
 # measures 134 s/step for the torch twin on this host (~2000 CPU-hours
-# for 5 seeds — infeasible; recorded in QUALITY.md). The JAX leg runs
-# in a subprocess on the default backend (TPU) — scripts/tr_jax_leg.py.
+# for 5 seeds — infeasible; recorded in QUALITY.md; even d256/4-block
+# at 2.2 s/step is ~12 torch-CPU-hours). ALL JAX legs run in
+# subprocesses on the default backend (TPU) — scripts/cli_leg.py —
+# both because that's the target hardware and because it halves the
+# study wall-clock on this 1-CPU host.
 
-DATA = dict(n_cycles_per_run=400, extra_train_runs=10, seed=0)
+DATA = dict(n_cycles_per_run=200, extra_train_runs=10, seed=0)
 VQ = dict(hidden=64, k=32, d=8, n_res=2, patch=25, epochs=15, bs=128,
           lr=1e-3, clip=0.7, dropout=0.1)
 MLP_RAW = dict(n_cycles=5, hidden=758, layers=6, epochs=30, bs=512, lr=1e-3,
@@ -81,8 +82,25 @@ GRU_RAW = dict(n_cycles=5, hidden=758, layers=6, epochs=30, bs=512, lr=1e-3,
                clip=0.42, dropout=0.032015121309774644)
 MLP_LATENT = dict(n_cycles=5, hidden=758, layers=6, epochs=30, bs=512,
                   lr=1e-3, clip=0.42, dropout=0.032015121309774644)
-TR = dict(n_cycles=10, d_model=256, blocks=4, heads=8, epoch_iter=3,
+TR = dict(n_cycles=10, d_model=192, blocks=4, heads=8, epoch_iter=3,
           gen_epochs=15, class_epochs=2, finetune_epochs=10, bs=16, lr=1e-3)
+
+
+def _jax_leg(cli: str, argv: list[str]) -> dict:
+    """Run one CLI leg in a TPU subprocess (scripts/cli_leg.py)."""
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
+         "--cli", cli, "--argv-json", json.dumps(argv)],
+        capture_output=True, text=True, cwd=os.getcwd())
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("CLILEG_RESULT ")]
+    if proc.returncode != 0 or not line:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        raise RuntimeError(f"cli_leg {cli} subprocess failed")
+    out = json.loads(line[-1][len("CLILEG_RESULT "):])
+    print(f"  jax {cli} leg backend: {out.pop('backend')}", flush=True)
+    return out
 
 
 def _ids():
@@ -104,7 +122,7 @@ def _asimow_dm(task, n_cycles, bs, data_dir):
 
 
 def study_vqvae(data_dir, seed):
-    args = cli_recon.build_parser().parse_args([
+    leg = _jax_leg("recon", [
         "--epochs", str(VQ["epochs"]), "--batch-size", str(VQ["bs"]),
         "--num-embeddings", str(VQ["k"]), "--embedding-dim", str(VQ["d"]),
         "--hidden-dim", str(VQ["hidden"]), "--n-resblocks", str(VQ["n_res"]),
@@ -112,10 +130,10 @@ def study_vqvae(data_dir, seed):
         "--learning-rate", str(VQ["lr"]),
         "--clipping-value", str(VQ["clip"]),
         "--data-dir", data_dir, "--seed", str(seed)])
-    result, test_metrics = cli_recon.main(args)
-    jx = {"val/loss": float(result.best_score),
-          "test/loss": float(test_metrics["test/loss"]),
-          "test/recon_error": float(test_metrics["test/recon_error"])}
+    best_ckpt_path = leg.pop("best_ckpt_path")
+    jx = {"val/loss": leg["val/loss"],
+          "test/loss": leg["test/loss"],
+          "test/recon_error": leg["test/recon_error"]}
 
     torch.manual_seed(seed)
     twin = TwinVQVAEPatch(VQ["hidden"], 2, VQ["k"], VQ["d"], VQ["n_res"],
@@ -124,7 +142,7 @@ def study_vqvae(data_dir, seed):
     tm = tref.train_vqvae(twin, dm, epochs=VQ["epochs"], lr=VQ["lr"],
                           clip=VQ["clip"], seed=seed)
     th = {"val/loss": tm["val/loss"], "test/loss": tm["test/loss"]}
-    return {"jax": jx, "torch": th}, result.best_ckpt_path, twin, dm
+    return {"jax": jx, "torch": th}, best_ckpt_path, twin, dm
 
 
 def roundtrip_checks(jax_ckpt, torch_twin, dm, out_dir):
@@ -206,10 +224,7 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
             "--data-dir", data_dir, "--seed", str(seed)]
     if vq_ckpt is not None:
         argv += ["--dataset", "latent_vq_vae", "--vqvae-model", vq_ckpt]
-    args = cli_class.build_parser().parse_args(argv)
-    result, test_metrics = cli_class.main(args)
-    jx = {"val/f1_score_mean": float(result.best_score),
-          "test/f1_score_mean": float(test_metrics["test/f1_score_mean"])}
+    jx = _jax_leg("class", argv)
 
     torch.manual_seed(seed + 1)
     val_ids, test_ids = _ids()
@@ -256,24 +271,16 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
 
 
 def study_transformer(data_dir, seed, vq_ckpt):
-    # JAX leg in a subprocess on the default backend (TPU when
-    # available) — this process's jax is pinned to CPU for the
-    # bit-equality legs; see scripts/tr_jax_leg.py
-    import subprocess
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "tr_jax_leg.py"),
-         "--tr-json", json.dumps(TR), "--data-dir", data_dir,
-         "--vqvae-model", vq_ckpt, "--seed", str(seed)],
-        capture_output=True, text=True, cwd=os.getcwd())
-    line = [ln for ln in proc.stdout.splitlines()
-            if ln.startswith("TRLEG_RESULT ")]
-    if proc.returncode != 0 or not line:
-        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-        raise RuntimeError("tr_jax_leg subprocess failed")
-    leg = json.loads(line[-1][len("TRLEG_RESULT "):])
-    print(f"  jax leg backend: {leg['backend']}", flush=True)
-    jx = {"test/cl/f1_score": leg["test/cl/f1_score"],
-          "gen/loss": leg["gen/loss"]}
+    jx = _jax_leg("transformer", [
+        "--epoch_iter", str(TR["epoch_iter"]),
+        "--batch-size", str(TR["bs"]), "--n-cycles", str(TR["n_cycles"]),
+        "--d-model", str(TR["d_model"]), "--n-heads", str(TR["heads"]),
+        "--n-blocks", str(TR["blocks"]),
+        "--gen-epochs", str(TR["gen_epochs"]),
+        "--class-epoch", str(TR["class_epochs"]),
+        "--finetune-epochs", str(TR["finetune_epochs"]),
+        "--vqvae-model", vq_ckpt,
+        "--data-dir", data_dir, "--seed", str(seed)])
 
     torch.manual_seed(seed + 2)
     val_ids, test_ids = _ids()
@@ -461,7 +468,8 @@ ASIMoW CSV** (schema per `asimow_dataloader.py:240-246`; generator
 train runs), seeds {seeds}. Torch side on host CPU throughout; this
 framework's legs run on CPU for the bit-equality components and on the
 **TPU** (the target hardware) for the transformer leg
-(scripts/tr_jax_leg.py subprocess). Classifiers use the reference
+(scripts/cli_leg.py subprocesses — also the target hardware).
+Classifiers use the reference
 entry-point DEFAULT hparams (hidden 758, 6 layers, 30 epochs, bs 512 —
 reference train_classification_model.py:177-186).
 
@@ -485,12 +493,13 @@ reference train_classification_model.py:177-186).
   residual deltas isolate sampling/dropout stochasticity.
 
 Reproduce: `python scripts/quality_study.py` (several hours: the torch
-twins train on 1 CPU core; the d256/4-block transformer twin alone is
-~2.2 s/step).
+twins train on 1 CPU core; the d192/4-block transformer twin alone is
+~1.5 s/step).
 
 **Reference-scale note**: the transformer study runs the FULL reference
 schedule (3 x (15 gen + 2 class) + 10 finetune, bs 16, accumulate 5)
-at half width/depth/context (d256 / 4 blocks / n_cycles 10). The full
+at reduced width/depth/context (d192 / 4 blocks / n_cycles 10). The
+full
 d512 / 8-block / n_cycles-20 config measures **134 s/step for the
 torch twin on this 1-CPU host** (~2,000 CPU-hours for a 5-seed both-
 stacks study — infeasible here). Reference-scale evidence is instead
