@@ -80,14 +80,13 @@ def _epoch_flops(task, tx, dm, trainer):
         arrays = task.batch_arrays(dm.train)
         params, state = task.model.init(0)
         opt_state = tx.init(params)
-        epoch_fn = trainer._make_train_epoch(task, tx, arrays,
-                                             dm.batch_size)
+        epoch_fn = trainer._make_train_epoch(task, tx, dm.batch_size)
         idx = trainer._train_indices(
             jax.random.PRNGKey(0), len(dm.train.x), dm.batch_size,
             dm.train_sampling, dm.drop_last)
         n_groups = idx.shape[0]
         lowered = epoch_fn.lower(params, state, opt_state, idx[:1],
-                                 jax.random.PRNGKey(1))
+                                 jax.random.PRNGKey(1), arrays)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]

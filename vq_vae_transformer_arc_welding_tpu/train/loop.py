@@ -124,7 +124,13 @@ class Trainer:
 
     # -- compiled steps ----------------------------------------------------
 
-    def _make_train_epoch(self, task: Task, tx, arrays, batch_size: int):
+    def _make_train_epoch(self, task: Task, tx, batch_size: int):
+        """The epoch fn takes the dataset `arrays` as an explicit jit
+        ARGUMENT (pytree), not a closure constant: closed-over arrays
+        become jaxpr constants, which remote-compile backends serialize
+        into the compile payload (a 335 MB dataset produced HTTP 413 on
+        the tunneled TPU). As arguments they are device buffers passed
+        by reference."""
         accum = self.accum
 
         def micro_loss(params, state, batch, rng):
@@ -134,7 +140,7 @@ class Trainer:
 
         grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
-        def one_group(carry, group_idx):
+        def one_group(arrays, carry, group_idx):
             params, state, opt_state, rng = carry
             rng, sub = jax.random.split(rng)
 
@@ -164,9 +170,10 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return (params, state, opt_state, rng), (losses, metrics)
 
-        def epoch(params, state, opt_state, idx_groups, rng):
+        def epoch(params, state, opt_state, idx_groups, rng, arrays):
             (params, state, opt_state, _), (losses, metrics) = jax.lax.scan(
-                one_group, (params, state, opt_state, rng), idx_groups)
+                functools.partial(one_group, arrays),
+                (params, state, opt_state, rng), idx_groups)
             flat_metrics = jax.tree_util.tree_map(
                 lambda m: m.reshape(-1), metrics)
             return params, state, opt_state, losses.reshape(-1), flat_metrics
@@ -245,8 +252,10 @@ class Trainer:
 
         return epoch
 
-    def _make_eval(self, task: Task, arrays):
-        def eval_batches(params, state, idx_batches):
+    def _make_eval(self, task: Task):
+        # arrays as an explicit argument — same remote-compile payload
+        # rationale as _make_train_epoch
+        def eval_batches(params, state, idx_batches, arrays):
             def one(carry, idx):
                 batch = _gather_batch(arrays, idx)
                 _, metrics, _ = task.loss_and_metrics(
@@ -335,23 +344,24 @@ class Trainer:
                     params, state, arrays)
                 if batch_size % self.mesh.shape["data"]:
                     idx2_sharding = None
-            eval_fn = self._make_eval(task, arrays)
-            rem_fn = jax.jit(lambda p, s, idx: task.loss_and_metrics(
-                p, s, _gather_batch(arrays, idx), train=False, rng=None)[1])
+            eval_fn = self._make_eval(task)
+            rem_fn = jax.jit(lambda p, s, idx, arrs: task.loss_and_metrics(
+                p, s, _gather_batch(arrs, idx), train=False, rng=None)[1])
             self._eval_cache[cache_key] = (eval_fn, rem_fn, idx2_sharding,
-                                           task, split)
+                                           arrays, task, split)
         elif self.mesh is not None:
             params, state, _, _, _ = self._place(params, state, ())
-        eval_fn, rem_fn, idx2_sharding, _, _ = self._eval_cache[cache_key]
+        (eval_fn, rem_fn, idx2_sharding, arrays, _, _) = \
+            self._eval_cache[cache_key]
         if len(main_idx):
             main_idx = jnp.asarray(main_idx)
             if idx2_sharding is not None:
                 main_idx = jax.device_put(main_idx, idx2_sharding)
-            stacked = eval_fn(params, state, main_idx)
+            stacked = eval_fn(params, state, main_idx, arrays)
             for k, v in stacked.items():
                 per_batch.setdefault(k, []).extend(np.asarray(v).tolist())
         if rem is not None and len(rem):
-            m = rem_fn(params, state, jnp.asarray(rem))
+            m = rem_fn(params, state, jnp.asarray(rem), arrays)
             for k, v in m.items():
                 per_batch.setdefault(k, []).append(float(v))
         means = {k: float(np.mean(v)) for k, v in per_batch.items()}
@@ -403,8 +413,7 @@ class Trainer:
             epoch_fn = (self._make_train_epoch_streaming(
                             task, tx, train_split, batch_size)
                         if self.streaming
-                        else self._make_train_epoch(task, tx, arrays,
-                                                    batch_size))
+                        else self._make_train_epoch(task, tx, batch_size))
             self._train_cache[tc_key] = (epoch_fn, task, datamodule, tx)
         epoch_fn = self._train_cache[tc_key][0]
 
@@ -430,8 +439,12 @@ class Trainer:
             profiling = self.profile_dir is not None and epoch == 1
             if profiling:  # epoch 0 is the compile epoch
                 jax.profiler.start_trace(self.profile_dir)
-            params, state, opt_state, losses, tr_metrics = epoch_fn(
-                params, state, opt_state, idx_groups, k_epoch)
+            if self.streaming:
+                params, state, opt_state, losses, tr_metrics = epoch_fn(
+                    params, state, opt_state, idx_groups, k_epoch)
+            else:
+                params, state, opt_state, losses, tr_metrics = epoch_fn(
+                    params, state, opt_state, idx_groups, k_epoch, arrays)
             losses = np.asarray(losses)
             if profiling:
                 jax.profiler.stop_trace()
