@@ -334,6 +334,7 @@ class TransformerDecoder(Module):
         """_token_step with every block as ONE Pallas kernel
         (ops/pallas_decode.fused_block_decode): caches stay in HBM, the
         kernel DMAs only the valid prefix and writes back one row.
+        Caches here are (B, T, C) time-major (see the kernel docstring).
         Same math; logits agree to fp tolerance."""
         from ..ops.pallas_decode import fused_block_decode
         x = jnp.take(params["tok_emb"], tok, axis=0)[:, None, :] \
@@ -448,6 +449,13 @@ class TransformerDecoder(Module):
                    jnp.zeros((b, self.n_head, cache_len, hd)))
                   for _ in params["blocks"]]
         logits, caches = self._prefill(params, x_ids, caches)
+        if decode_impl == "fused":
+            # fused kernel cache layout: (B, T, C) time-major (one-time
+            # relayout after prefill; see fused_block_decode docstring)
+            caches = [
+                (k.transpose(0, 2, 1, 3).reshape(b, cache_len, self.d_model),
+                 v.transpose(0, 2, 1, 3).reshape(b, cache_len, self.d_model))
+                for k, v in caches]
 
         flat = []
         for k_c, v_c in caches:

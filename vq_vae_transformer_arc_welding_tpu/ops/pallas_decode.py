@@ -184,17 +184,20 @@ def _block_decode_body(pos_ref, xa_ref, vp_ref, wq_ref, wp_ref, wf_ref,
     i = pl.program_id(0)
     pos = pos_ref[0]
     c = n_head * d_head
-    t = ks_ref.shape[2]
+    t = ks_ref.shape[1]
 
-    # manual DMA: only the chunks covering rows [0, pos] come to VMEM
+    # manual DMA: only the chunks covering rows [0, pos] come to VMEM.
+    # Caches are (B, T, C) — the lane dim C=H*D is 128-tile-aligned,
+    # unlike a (B, H, T, D) layout whose D=64 lane dim cannot be
+    # HBM-sliced (Mosaic tiling (1,128))
     n_chunks = pos // DECODE_CHUNK + 1
 
     def copy_chunk(ci, _):
         for src, dst in ((kco_hbm, ks_ref), (vco_hbm, vs_ref)):
             dma = pltpu.make_async_copy(
-                src.at[pl.ds(i, 1), :,
+                src.at[pl.ds(i, 1),
                        pl.ds(ci * DECODE_CHUNK, DECODE_CHUNK), :],
-                dst.at[:, :, pl.ds(ci * DECODE_CHUNK, DECODE_CHUNK), :],
+                dst.at[:, pl.ds(ci * DECODE_CHUNK, DECODE_CHUNK), :],
                 sem)
             dma.start()
             dma.wait()
@@ -212,33 +215,35 @@ def _block_decode_body(pos_ref, xa_ref, vp_ref, wq_ref, wp_ref, wf_ref,
         ha, wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (1, 3C)
 
-    # append this token's K/V to the VMEM copies and stage the rows for
+    # append this token's K/V row to the VMEM copies and stage it for
     # the single-row HBM write-back
-    k_new = qkv[:, c:2 * c].reshape(1, n_head, 1, d_head)
-    v_new = qkv[:, 2 * c:].reshape(1, n_head, 1, d_head)
-    ks_ref[:, :, pl.ds(pos, 1), :] = k_new
-    vs_ref[:, :, pl.ds(pos, 1), :] = v_new
-    krow_ref[...] = k_new
-    vrow_ref[...] = v_new
+    k_row = qkv[:, c:2 * c]                               # (1, C)
+    v_row = qkv[:, 2 * c:]
+    ks_ref[0, pl.ds(pos, 1), :] = k_row
+    vs_ref[0, pl.ds(pos, 1), :] = v_row
+    krow_ref[0] = k_row
+    vrow_ref[0] = v_row
 
     # sanitize V beyond pos: rows past the DMA'd prefix are stale
     # scratch garbage; probs there are exactly 0, but 0 * NaN = NaN
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, t, 1), 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
     vs_ref[...] = jnp.where(rows <= pos, vs_ref[...], 0.0)
 
     colv = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) <= pos
     outs = []
     for hh in range(n_head):
-        q = qkv[:, hh * d_head:(hh + 1) * d_head]
+        q = qkv[:, hh * d_head:(hh + 1) * d_head]         # (1, D)
+        k_h = ks_ref[0][:, hh * d_head:(hh + 1) * d_head]  # (T, D)
         s = jax.lax.dot_general(
-            q, ks_ref[0, hh], (((1,), (1,)), ((), ())),
+            q, k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * sm_scale    # (1, T)
         s = jnp.where(colv, s, -jnp.inf)
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
+        v_h = vs_ref[0][:, hh * d_head:(hh + 1) * d_head]  # (T, D)
         outs.append(jax.lax.dot_general(
-            p, vs_ref[0, hh], (((1,), (0,)), ((), ())),
+            p, v_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) / l)          # (1, D)
     y = jnp.concatenate(outs, axis=1)                         # (1, C)
     x_mid = x + jax.lax.dot_general(
@@ -259,7 +264,7 @@ def _block_decode_body(pos_ref, xa_ref, vp_ref, wq_ref, wp_ref, wf_ref,
     # cache block back per program)
     for src, dst in ((krow_ref, kco_hbm), (vrow_ref, vco_hbm)):
         dma = pltpu.make_async_copy(
-            src, dst.at[pl.ds(i, 1), :, pl.ds(pos, 1), :], sem)
+            src, dst.at[pl.ds(i, 1), pl.ds(pos, 1), :], sem)
         dma.start()
         dma.wait()
 
@@ -272,15 +277,18 @@ def fused_block_decode(x, blk, kc, vc, pos, *, n_head: int,
 
     x: (B, 1, C) f32 residual stream entering the block.
     blk: one entry of params['blocks'] (list layout).
-    kc/vc: (B, H, T, D) f32 caches, T a multiple of DECODE_CHUNK —
-    updated in place at `pos` (donate for true aliasing). pos: () int32.
-    Returns (x_out (B, 1, C), kc, vc). Same math as
+    kc/vc: (B, T, C) f32 caches — time-major, heads packed in the lane
+    dim (C = H*D keeps HBM DMA slices 128-tile-aligned, which a
+    (B, H, T, D) layout's D=64 lane dim is not) — T a multiple of
+    DECODE_CHUNK; updated in place at `pos` (donate for true aliasing).
+    pos: () int32. Returns (x_out (B, 1, C), kc, vc). Same math as
     TransformerDecoder._token_step's block body (models/transformer.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, _, c = x.shape
-    h_, t, d = kc.shape[1], kc.shape[2], kc.shape[3]
+    h_, t = n_head, kc.shape[1]
+    d = c // n_head
     if t % DECODE_CHUNK:
         raise ValueError(f"cache length {t} must be a multiple of "
                          f"{DECODE_CHUNK} (pad it)")
@@ -319,20 +327,20 @@ def fused_block_decode(x, blk, kc, vc, pos, *, n_head: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * c, c), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # kc (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # vc (HBM)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # kc
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # vc
         ],
         out_specs=[
             pl.BlockSpec((1, 8, c), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # kc out (aliased)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # vc out (aliased)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # kc out (aliased)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # vc out (aliased)
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, h_, t, d), jnp.float32),  # K prefix
-            pltpu.VMEM((1, h_, t, d), jnp.float32),  # V prefix
-            pltpu.VMEM((1, h_, 1, d), jnp.float32),  # new K row stage
-            pltpu.VMEM((1, h_, 1, d), jnp.float32),  # new V row stage
+            pltpu.VMEM((1, t, c), jnp.float32),      # K prefix
+            pltpu.VMEM((1, t, c), jnp.float32),      # V prefix
+            pltpu.VMEM((1, 1, c), jnp.float32),      # new K row stage
+            pltpu.VMEM((1, 1, c), jnp.float32),      # new V row stage
             pltpu.SemaphoreType.DMA,
         ],
     )
