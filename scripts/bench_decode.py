@@ -59,9 +59,12 @@ def main():
     results = {}
     outs = {}
     for impl in args.impls:
-        fn = jax.jit(lambda p, s, impl=impl: m.generate_kv(
+        kw = {"decode_impl": impl}
+        if impl == "xla-bf16c":  # bf16 K/V cache storage, f32 scoring
+            kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16}
+        fn = jax.jit(lambda p, s, kw=kw: m.generate_kv(
             p, s, do_sample=True, top_k=5, rng=jax.random.PRNGKey(7),
-            num_steps=args.steps, decode_impl=impl))
+            num_steps=args.steps, **kw))
         t0 = time.perf_counter()
         out = fn(params, start)
         jax.block_until_ready(out)
@@ -77,9 +80,10 @@ def main():
         log(f"{impl}: {best:.3f}s total -> {ms_tok:.3f} ms/token")
         results[impl] = round(ms_tok, 4)
 
-    if len(outs) == 2 and "xla" in outs and "fused" in outs:
-        agree = float((outs["xla"] == outs["fused"]).mean())
-        log(f"sampled-id agreement fused vs xla: {agree:.4f}")
+    if len(outs) == 2:
+        a, b = list(outs)
+        agree = float((outs[a] == outs[b]).mean())
+        log(f"sampled-id agreement {b} vs {a}: {agree:.4f}")
         results["id_agreement"] = round(agree, 4)
     print(json.dumps(results))
 

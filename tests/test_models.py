@@ -296,3 +296,22 @@ def test_lightning_ckpt_import(tmp_path):
         _, ref_xhat, _ = twin(torch.tensor(x))
     np.testing.assert_allclose(np.asarray(out.x_hat), ref_xhat.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_generate_kv_cache_dtype_and_fused_decode(rng):
+    """Opt-in sampler variants against the exact XLA f32 step on a tiny
+    model: bf16 K/V cache storage (BENCHMARKS round 5: 1.55x on TPU)
+    and the fused whole-block Pallas decode (interpret mode here) must
+    reproduce the greedy sample exactly at this scale."""
+    import jax.numpy as jnp
+    m = TransformerDecoder(d_model=32, n_classes=18, seq_len=9,
+                           n_blocks=2, n_head=4)
+    params, _ = m.init(0)
+    prompt = jnp.asarray(rng.integers(0, 16, (3, 4)), jnp.int32)
+    ref = m.generate_kv(params, prompt, do_sample=False, num_steps=5)
+    bf16c = m.generate_kv(params, prompt, do_sample=False, num_steps=5,
+                          cache_dtype=jnp.bfloat16)
+    fused = m.generate_kv(params, prompt, do_sample=False, num_steps=5,
+                          decode_impl="fused")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(bf16c))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))

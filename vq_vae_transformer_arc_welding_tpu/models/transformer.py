@@ -313,8 +313,12 @@ class TransformerDecoder(Module):
                       preferred_element_type=jnp.float32) + p["c_attn_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)         # (B, 1, C)
         q, k, v = (split_heads(t, self.n_head) for t in (q, k, v))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, pos, 0))
+        # caches may be stored bf16 (generate_kv cache_dtype): K/V round
+        # to the cache dtype at write; scores/PV accumulate f32
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
         d = q.shape[-1]
         att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
                          preferred_element_type=jnp.float32) / jnp.sqrt(
@@ -386,8 +390,10 @@ class TransformerDecoder(Module):
                           preferred_element_type=jnp.float32) + p["c_attn_b"]
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q, k, v = (split_heads(t, self.n_head) for t in (q, k, v))
-            k_c = jax.lax.dynamic_update_slice(k_c, k, (0, 0, 0, 0))
-            v_c = jax.lax.dynamic_update_slice(v_c, v, (0, 0, 0, 0))
+            k_c = jax.lax.dynamic_update_slice(
+                k_c, k.astype(k_c.dtype), (0, 0, 0, 0))
+            v_c = jax.lax.dynamic_update_slice(
+                v_c, v.astype(v_c.dtype), (0, 0, 0, 0))
             y = merge_heads(causal_attention_core(q, k, v))
             y = jnp.dot(y, p["c_proj_w"],
                         preferred_element_type=jnp.float32) + p["c_proj_b"]
@@ -408,7 +414,7 @@ class TransformerDecoder(Module):
     def generate_kv(self, params, x_ids, *, do_sample: bool = False,
                     top_k: int | None = None, rng=None,
                     num_steps: int | None = None,
-                    decode_impl: str = "xla"):
+                    decode_impl: str = "xla", cache_dtype=None):
         """KV-cached autoregressive sampling; same output contract as
         `generate` for any prompt length and step count.
 
@@ -423,7 +429,14 @@ class TransformerDecoder(Module):
         decode_impl: 'xla' (default, exact reference-equal f32 chain)
         or 'fused' (one Pallas kernel per block per token,
         ops/pallas_decode.fused_block_decode — same math, logits to fp
-        tolerance, so sampled ids can differ at probability ties).
+        tolerance, so sampled ids can differ at probability ties;
+        measured 2.5x SLOWER than the XLA step at the bench config —
+        BENCHMARKS.md — kept as a tested reference).
+
+        cache_dtype: storage dtype for the K/V caches (e.g.
+        jnp.bfloat16 halves cache HBM traffic; scores still accumulate
+        f32, so logits drift by bf16 rounding of cached K/V — sampled
+        ids can differ near probability ties). None = f32 (exact).
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -445,8 +458,9 @@ class TransformerDecoder(Module):
             from ..ops.pallas_decode import DECODE_CHUNK
             cache_len = -(-self.seq_len // DECODE_CHUNK) * DECODE_CHUNK
         hd = self.d_model // self.n_head
-        caches = [(jnp.zeros((b, self.n_head, cache_len, hd)),
-                   jnp.zeros((b, self.n_head, cache_len, hd)))
+        cd = jnp.float32 if cache_dtype is None else cache_dtype
+        caches = [(jnp.zeros((b, self.n_head, cache_len, hd), cd),
+                   jnp.zeros((b, self.n_head, cache_len, hd), cd))
                   for _ in params["blocks"]]
         logits, caches = self._prefill(params, x_ids, caches)
         if decode_impl == "fused":

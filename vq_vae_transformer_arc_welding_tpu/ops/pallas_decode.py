@@ -160,17 +160,30 @@ def fused_decode_attn(x, blk, kc, vc, pos, *, n_head: int,
 # v1 above fails on cache traffic: VMEM BlockSpec outputs always write the
 # WHOLE block, so each grid program streamed its full (1, H, T, D) caches
 # in AND back out (~670 MB/token over 8 blocks). Here the caches stay in
-# HBM (pl.ANY), the kernel DMAs in only ceil((pos+1)/CHUNK) row-chunks of
-# each cache (average traffic ~halves over a generation), and writes back
-# exactly ONE row per cache — the new token's K/V — via a second DMA.
-# The whole transformer block (ln1 -> qkv -> cached attention -> proj ->
-# residual -> ln2 -> fc -> new_gelu -> mproj -> residual) runs in ONE
-# kernel, so the ~10 XLA launches per block per token become 1.
+# HBM (MemorySpace.HBM), the kernel DMAs in only ceil((pos+1)/CHUNK)
+# row-chunks of each cache (average traffic ~halves over a generation),
+# and writes back one 8-row-aligned window — HBM tiling is (8, 128), so
+# sub-8-row DMA slices are rejected. The whole transformer block
+# (ln1 -> qkv -> cached attention -> proj -> residual -> ln2 -> fc ->
+# new_gelu -> mproj -> residual) runs in ONE kernel, so the ~10 XLA
+# launches per block per token become 1.
 #
 # Cache length must be a multiple of DECODE_CHUNK (pad with zeros; the
 # position mask keeps padding out of the softmax). Rows beyond the DMA'd
 # prefix hold stale scratch garbage; V is sanitized with a row mask so
 # exp(-inf)=0 never multiplies a NaN.
+#
+# MEASURED AND NOT ADOPTED (round 5 / builder round 2): 1.61 vs 0.65
+# ms/token at the bench config (d512/8 blocks, batch 16). The manual
+# DMA removed v1's cache-traffic problem, but single-token batch-16
+# decode decomposes into 16 grid programs x 8 blocks of per-sample
+# (1, D)-GEMV attention — Mosaic has no batched matmul, so Pallas
+# trades XLA's ~90-launch serial chain for 128 serialized tiny
+# programs (~12.5 us each incl. chained DMA waits) and loses. XLA's
+# batched einsum over (B, H) is the right shape for this op. The
+# ADOPTED win on the sampler is bf16 K/V cache STORAGE on the XLA path
+# (generate_kv cache_dtype): 0.65 -> 0.42 ms/token, 99.6% sampled-id
+# agreement (BENCHMARKS.md round 5).
 
 DECODE_CHUNK = 128
 
@@ -215,19 +228,26 @@ def _block_decode_body(pos_ref, xa_ref, vp_ref, wq_ref, wp_ref, wf_ref,
         ha, wq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # (1, 3C)
 
-    # append this token's K/V row to the VMEM copies and stage it for
-    # the single-row HBM write-back
+    # append this token's K/V row to the VMEM copies
     k_row = qkv[:, c:2 * c]                               # (1, C)
     v_row = qkv[:, 2 * c:]
     ks_ref[0, pl.ds(pos, 1), :] = k_row
     vs_ref[0, pl.ds(pos, 1), :] = v_row
-    krow_ref[0] = k_row
-    vrow_ref[0] = v_row
 
     # sanitize V beyond pos: rows past the DMA'd prefix are stale
     # scratch garbage; probs there are exactly 0, but 0 * NaN = NaN
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, t, 1), 1)
     vs_ref[...] = jnp.where(rows <= pos, vs_ref[...], 0.0)
+
+    # stage the 8-row aligned window containing `pos` for write-back:
+    # HBM memrefs are (8, 128)-tiled, so sub-8-row DMA slices are
+    # rejected. Rows beyond pos inside the window carry sanitized
+    # zeros (V) / stale values (K) — harmless: every cache row <= pos
+    # is rewritten real by the step that owns it, and rows > pos are
+    # masked out of every read until then.
+    pos8 = (pos // 8) * 8
+    krow_ref[...] = ks_ref[:, pl.ds(pos8, 8), :]
+    vrow_ref[...] = vs_ref[:, pl.ds(pos8, 8), :]
 
     colv = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) <= pos
     outs = []
@@ -260,11 +280,10 @@ def _block_decode_body(pos_ref, xa_ref, vp_ref, wq_ref, wp_ref, wf_ref,
         preferred_element_type=jnp.float32) + v[5].reshape(1, c)
     o_ref[0, 0:1, :] = x_out
 
-    # single-row cache write-back (the v1 failure was writing the WHOLE
-    # cache block back per program)
+    # 8-row cache write-back (vs v1's WHOLE-cache write-back)
     for src, dst in ((krow_ref, kco_hbm), (vrow_ref, vco_hbm)):
         dma = pltpu.make_async_copy(
-            src, dst.at[pl.ds(i, 1), pl.ds(pos, 1), :], sem)
+            src, dst.at[pl.ds(i, 1), pl.ds(pos8, 8), :], sem)
         dma.start()
         dma.wait()
 
@@ -339,8 +358,8 @@ def fused_block_decode(x, blk, kc, vc, pos, *, n_head: int,
         scratch_shapes=[
             pltpu.VMEM((1, t, c), jnp.float32),      # K prefix
             pltpu.VMEM((1, t, c), jnp.float32),      # V prefix
-            pltpu.VMEM((1, 1, c), jnp.float32),      # new K row stage
-            pltpu.VMEM((1, 1, c), jnp.float32),      # new V row stage
+            pltpu.VMEM((1, 8, c), jnp.float32),      # K write-back window
+            pltpu.VMEM((1, 8, c), jnp.float32),      # V write-back window
             pltpu.SemaphoreType.DMA,
         ],
     )

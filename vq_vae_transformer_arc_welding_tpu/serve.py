@@ -316,7 +316,8 @@ class WeldingQualityPipeline:
     def sample_tokens(self, n: int | None = None, *,
                       prompt: np.ndarray | None = None,
                       top_k: int | None = None, seed: int = 0,
-                      num_steps: int | None = None) -> np.ndarray:
+                      num_steps: int | None = None,
+                      cache_dtype=None) -> np.ndarray:
         """Autoregressively sample latent token sequences from the
         generation head (KV-cached: batched prefill, recompute tail once
         the context outgrows seq_len).
@@ -326,7 +327,13 @@ class WeldingQualityPipeline:
         prefixed with the start token, prefilled in one forward, and
         `num_steps` (default seq_len) tokens are appended. Returns the
         sampled ids without the start token (prompt included when
-        given)."""
+        given).
+
+        cache_dtype=jnp.bfloat16 stores the K/V caches in bf16
+        (scoring stays f32): measured 0.65 -> 0.42 ms/token at the
+        bench config with 99.6% sampled-id agreement (BENCHMARKS.md
+        round 5) — ids can differ near probability ties, so the
+        default stays exact f32."""
         if prompt is not None:
             prompt = jnp.asarray(prompt, jnp.int32)
             start = jnp.concatenate(
@@ -344,5 +351,6 @@ class WeldingQualityPipeline:
         # the 4x weight-memory reduction matters more.
         out = self.tr_model.generate_kv(
             self.tr_params, start, do_sample=True, top_k=top_k,
-            rng=jax.random.PRNGKey(seed), num_steps=num_steps)
+            rng=jax.random.PRNGKey(seed), num_steps=num_steps,
+            cache_dtype=cache_dtype)
         return np.asarray(out[:, 1:])
