@@ -62,6 +62,35 @@ def _idot(a8, w8_ref):
         preferred_element_type=jnp.int32)
 
 
+def _attn_core_batched(qkv, n_head, d_head, t_valid, sm_scale):
+    """All heads' attention as TWO (H,)-batched dot_generals instead of
+    the per-head matmul loop (Mosaic lowers batched dots on this
+    toolchain). K=128 'head pairing' of score matmuls is mathematically
+    unavailable — stacking two heads along the contraction SUMS their
+    scores — so batching the head dim is the only leverable form;
+    measured vs the loop in BENCHMARKS.md round 5."""
+    c = n_head * d_head
+    tp = qkv.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, tp, tp), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, tp, tp), 2)
+    mask = (col <= row) & (col < t_valid)
+    q_all = jnp.stack([qkv[:, h * d_head:(h + 1) * d_head]
+                       for h in range(n_head)])            # (H, Tp, D)
+    k_all = jnp.stack([qkv[:, c + h * d_head:c + (h + 1) * d_head]
+                       for h in range(n_head)])
+    v_all = jnp.stack([qkv[:, 2 * c + h * d_head:2 * c + (h + 1) * d_head]
+                       for h in range(n_head)])
+    s = jax.lax.dot_general(q_all, k_all, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * sm_scale
+    s = jnp.where(mask, s, -jnp.inf)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    o = jax.lax.dot_general(p, v_all, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) / l
+    return jnp.concatenate([o[h] for h in range(n_head)], axis=1)
+
+
 def _attn_core(qkv, n_head, d_head, t_valid, sm_scale, int8_attn=False):
     """All-heads causal attention on a VMEM (Tp, 3C) qkv tile; returns
     the merged (Tp, C) f32 output. Same math as pallas_attn_quant.
@@ -118,13 +147,23 @@ def _attn_core(qkv, n_head, d_head, t_valid, sm_scale, int8_attn=False):
 
 
 def _attn_half(x, scales, vc, v3c, w_qkv_ref, w_proj_ref, *,
-               n_head, d_head, t_valid, sm_scale, int8_attn=False):
+               n_head, d_head, t_valid, sm_scale, int8_attn=False,
+               attn_batched=None):
     """ln1 -> int8 qkv -> attention -> int8 c_proj -> residual -> ln2
-    -> int8 quantize. Returns (x_mid f32, h8 int8)."""
+    -> int8 quantize. Returns (x_mid f32, h8 int8).
+
+    attn_batched=None (default) resolves to True unless int8_attn (the
+    int8 score path needs per-head dynamic scales): the (H,)-batched
+    dots are bit-identical to the loop and measured ~10% faster
+    end-to-end on the transformer (BENCHMARKS.md round 5)."""
+    if attn_batched is None:
+        attn_batched = not int8_attn
     h = _ln(x, vc[0], vc[1])
     h8 = _q8(h, scales[0])
     qkv = _idot(h8, w_qkv_ref).astype(jnp.float32) * v3c[0] + v3c[1]
-    y = _attn_core(qkv, n_head, d_head, t_valid, sm_scale, int8_attn)
+    y = (_attn_core_batched(qkv, n_head, d_head, t_valid, sm_scale)
+         if attn_batched else
+         _attn_core(qkv, n_head, d_head, t_valid, sm_scale, int8_attn))
     y8 = _q8(y, scales[1])
     proj = _idot(y8, w_proj_ref).astype(jnp.float32) * vc[4] + vc[5]
     x_mid = x + proj
@@ -134,11 +173,11 @@ def _attn_half(x, scales, vc, v3c, w_qkv_ref, w_proj_ref, *,
 
 def _attn_block_kernel(scales_ref, x_ref, vc_ref, v3c_ref, w_qkv_ref,
                        w_proj_ref, xmid_ref, h8_ref, *, n_head, d_head,
-                       t_valid, sm_scale, int8_attn):
+                       t_valid, sm_scale, int8_attn, attn_batched=None):
     x_mid, h8 = _attn_half(
         x_ref[0].astype(jnp.float32), scales_ref, vc_ref[...], v3c_ref[...],
         w_qkv_ref, w_proj_ref, n_head=n_head, d_head=d_head, t_valid=t_valid,
-        sm_scale=sm_scale, int8_attn=int8_attn)
+        sm_scale=sm_scale, int8_attn=int8_attn, attn_batched=attn_batched)
     xmid_ref[0] = x_mid.astype(xmid_ref.dtype)
     h8_ref[0] = h8
 
@@ -183,10 +222,12 @@ def _block_operands(x, blk, full: bool):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_head", "interpret", "int8_attn"))
+                   static_argnames=("n_head", "interpret", "int8_attn",
+                                    "attn_batched"))
 def fused_attn_block_quant(x, blk, *, n_head: int,
                            interpret: bool | None = None,
-                           int8_attn: bool = False):
+                           int8_attn: bool = False,
+                           attn_batched: bool | None = None):
     """ln1 + int8 qkv + attention + int8 c_proj + residual + ln2 +
     int8 quantize, one kernel per block.
 
@@ -214,7 +255,7 @@ def fused_attn_block_quant(x, blk, *, n_head: int,
     x_mid, h8 = pl.pallas_call(
         functools.partial(_attn_block_kernel, n_head=n_head, d_head=d_head,
                           t_valid=t, sm_scale=sm_scale,
-                          int8_attn=int8_attn),
+                          int8_attn=int8_attn, attn_batched=attn_batched),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
