@@ -62,6 +62,21 @@ def main():
         kw = {"decode_impl": impl}
         if impl == "xla-bf16c":  # bf16 K/V cache storage, f32 scoring
             kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16}
+        elif impl == "xla-bf16w":  # bf16 weight streaming, f32 caches
+            kw = {"decode_impl": "xla", "param_dtype": jnp.bfloat16}
+        elif impl == "xla-bf16cw":  # bf16 caches AND weights
+            kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16,
+                  "param_dtype": jnp.bfloat16}
+        elif impl == "xla-seg":  # segmented cache-prefix reads, f32
+            kw = {"decode_impl": "xla", "cache_buckets": 128}
+        elif impl == "xla-bf16c-seg":  # bf16 cache + segmented reads
+            kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16,
+                  "cache_buckets": 128}
+        elif impl == "xla-seg64":
+            kw = {"decode_impl": "xla", "cache_buckets": 64}
+        elif impl == "xla-bf16c-seg64":
+            kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16,
+                  "cache_buckets": 64}
         fn = jax.jit(lambda p, s, kw=kw: m.generate_kv(
             p, s, do_sample=True, top_k=5, rng=jax.random.PRNGKey(7),
             num_steps=args.steps, **kw))
@@ -80,11 +95,12 @@ def main():
         log(f"{impl}: {best:.3f}s total -> {ms_tok:.3f} ms/token")
         results[impl] = round(ms_tok, 4)
 
-    if len(outs) == 2:
-        a, b = list(outs)
-        agree = float((outs[a] == outs[b]).mean())
-        log(f"sampled-id agreement {b} vs {a}: {agree:.4f}")
-        results["id_agreement"] = round(agree, 4)
+    if len(outs) >= 2:
+        base = list(outs)[0]
+        for other in list(outs)[1:]:
+            agree = float((outs[base] == outs[other]).mean())
+            log(f"sampled-id agreement {other} vs {base}: {agree:.4f}")
+            results[f"id_agreement_{other}"] = round(agree, 4)
     print(json.dumps(results))
 
 

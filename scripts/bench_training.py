@@ -121,7 +121,12 @@ def time_config(name, task, tx, dm, *, epochs, accum=1, seed=0):
 
 
 def build(name, dtype, rng):
-    cd = jnp.bfloat16 if dtype == "bf16" else None
+    # 'bf16_dec' / 'bf16_enc' scope the VQ-VAE cast to one half
+    # (models/vqvae_patch.py compute_scope; BENCHMARKS.md round 5)
+    cd = jnp.bfloat16 if dtype.startswith("bf16") else None
+    scope = {"bf16_dec": "decoder", "bf16_enc": "encoder"}.get(dtype, "all")
+    if scope != "all" and name != "vqvae":
+        return None  # compute_scope is a VQ-VAE-only knob
     if name == "vqvae":
         # reference train_reconstruction_embedding.py defaults:
         # bs 1024, hidden 512, K 256, D 32, 8 resblocks, patch 25,
@@ -129,7 +134,7 @@ def build(name, dtype, rng):
         model = VQVAEPatch(hidden_dim=512, input_dim=2, num_embeddings=256,
                            embedding_dim=32, n_resblocks=8,
                            learning_rate=1e-3, batch_norm=False,
-                           compute_dtype=cd)
+                           compute_dtype=cd, compute_scope=scope)
         x = rng.standard_normal((16384, CYCLE_LEN, 2)).astype(np.float32)
         dm = SynthDataModule(x, batch_size=1024)
         task = ReconstructionTask(model)
@@ -196,14 +201,15 @@ CONFIGS = ["vqvae", "mlp_raw", "gru_raw", "mlp_latent", "transformer"]
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="+", default=CONFIGS)
-    ap.add_argument("--dtype", choices=["f32", "bf16", "both"],
-                    default="both")
+    ap.add_argument("--dtype", nargs="+",
+                    choices=["f32", "bf16", "bf16_dec", "bf16_enc", "both"],
+                    default=["both"])
     ap.add_argument("--epochs", type=int, default=4)
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     log(f"backend: {dev.platform}:{dev.device_kind}")
-    dtypes = ["f32", "bf16"] if args.dtype == "both" else [args.dtype]
+    dtypes = (["f32", "bf16"] if args.dtype == ["both"] else args.dtype)
     out = []
     for name in args.configs:
         for dtype in dtypes:

@@ -12,6 +12,7 @@ Emits one JSON line; results recorded in BENCHMARKS.md round 5.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -47,10 +48,20 @@ from vq_vae_transformer_arc_welding_tpu.train.tasks import (  # noqa: E402
     ClassificationTask, ReconstructionTask)
 
 
-def run_seed(d, ids, val_ids, test_ids, seed):
+# arm name -> (compute_dtype, compute_scope)
+ARMS = {
+    "f32": (None, "all"),
+    "bf16": (jnp.bfloat16, "all"),
+    "bf16_dec": (jnp.bfloat16, "decoder"),
+    "bf16_enc": (jnp.bfloat16, "encoder"),
+}
+
+
+def run_seed(d, ids, val_ids, test_ids, seed, arms):
     out = {}
     vq_trained = {}
-    for mode, cd in (("f32", None), ("bf16", jnp.bfloat16)):
+    for mode in arms:
+        cd, scope = ARMS[mode]
         dm = ASIMoWDataModule(task="reconstruction", n_cycles=1,
                               val_data_ids=ids["val_ids"],
                               test_data_ids=ids["test_ids"],
@@ -59,7 +70,7 @@ def run_seed(d, ids, val_ids, test_ids, seed):
         model = VQVAEPatch(hidden_dim=64, input_dim=2, num_embeddings=32,
                            embedding_dim=8, n_resblocks=2,
                            learning_rate=1e-3, batch_norm=False,
-                           compute_dtype=cd)
+                           compute_dtype=cd, compute_scope=scope)
         params, state = model.init(seed)
         tr = Trainer(max_epochs=15, monitor="val/loss", mode="min",
                      verbose=False, seed=seed)
@@ -108,30 +119,41 @@ def main():
     val_ids = parse_split_ids(ids["val_ids"])
     test_ids = parse_split_ids(ids["test_ids"])
 
-    seeds = [int(s) for s in (sys.argv[1:] or ["0", "1", "2"])]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--arms", nargs="+", default=["f32", "bf16"],
+                    choices=sorted(ARMS))
+    a = ap.parse_args()
+    if "f32" not in a.arms:
+        a.arms.insert(0, "f32")
+
     per_seed = []
-    for seed in seeds:
-        r = run_seed(d, ids, val_ids, test_ids, seed)
+    for seed in a.seeds:
+        r = run_seed(d, ids, val_ids, test_ids, seed, a.arms)
         per_seed.append(r)
         print(f"seed {seed}: {json.dumps(r)}", file=sys.stderr, flush=True)
 
     f32 = np.array([r["latent_mlp_f1_f32"] for r in per_seed])
-    bf16 = np.array([r["latent_mlp_f1_bf16"] for r in per_seed])
     out = {
         "backend": jax.devices()[0].platform,
-        "seeds": seeds,
+        "seeds": a.seeds,
         "latent_mlp_f1_f32_mean": round(float(f32.mean()), 5),
         "latent_mlp_f1_f32_std": round(float(f32.std()), 5),
-        "latent_mlp_f1_bf16_mean": round(float(bf16.mean()), 5),
-        "latent_mlp_f1_bf16_std": round(float(bf16.std()), 5),
-        "f1_delta_mean": round(float(bf16.mean() - f32.mean()), 5),
         "vq_val_loss_f32": [r["vq_f32_val_loss"] for r in per_seed],
-        "vq_val_loss_bf16": [r["vq_bf16_val_loss"] for r in per_seed],
     }
     # same acceptance form as the quality study: 0.5 F1 pts + seed noise
-    out["within_contract"] = bool(
-        abs(out["f1_delta_mean"])
-        <= 0.005 + float(f32.std()) + float(bf16.std()))
+    for arm in a.arms:
+        if arm == "f32":
+            continue
+        v = np.array([r[f"latent_mlp_f1_{arm}"] for r in per_seed])
+        out[f"latent_mlp_f1_{arm}_mean"] = round(float(v.mean()), 5)
+        out[f"latent_mlp_f1_{arm}_std"] = round(float(v.std()), 5)
+        out[f"f1_delta_{arm}"] = round(float(v.mean() - f32.mean()), 5)
+        out[f"vq_val_loss_{arm}"] = [r[f"vq_{arm}_val_loss"]
+                                     for r in per_seed]
+        out[f"within_contract_{arm}"] = bool(
+            abs(v.mean() - f32.mean())
+            <= 0.005 + float(f32.std()) + float(v.std()))
     print(json.dumps(out))
 
 

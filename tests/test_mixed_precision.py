@@ -153,3 +153,43 @@ def test_vqvae_bf16_short_training_converges(rng, seed):
     assert bf16_losses[-1] < f32_losses[0]  # training works at all
     # final losses land in the same regime
     assert abs(bf16_losses[-1] - f32_losses[-1]) < 0.25 * f32_losses[-1]
+
+
+def test_vqvae_compute_scope_decoder_keeps_encoder_exact(rng):
+    """compute_scope='decoder' must leave the encoder/VQ math
+    bit-identical to exact f32 (the bf16 cast touches only the decoder
+    convs + inverse patch embed), while scope='encoder' reproduces the
+    'all' mode's encoder-side rounding. Motivated by the BENCHMARKS.md
+    round-5 finding that scope='all' training shifts the latent space
+    (~-2 F1 pts downstream)."""
+    x = jnp.asarray(rng.standard_normal((32, 200, 2)), jnp.float32)
+
+    def make(**kw):
+        m = VQVAEPatch(hidden_dim=64, input_dim=2, num_embeddings=32,
+                       embedding_dim=8, n_resblocks=2, learning_rate=1e-3,
+                       batch_norm=False, **kw)
+        p, s = m.init(0)
+        return m, p, s
+
+    m32, p, s = make()
+    mdec, _, _ = make(compute_dtype=jnp.bfloat16, compute_scope="decoder")
+    menc, _, _ = make(compute_dtype=jnp.bfloat16, compute_scope="encoder")
+    mall, _, _ = make(compute_dtype=jnp.bfloat16, compute_scope="all")
+
+    z32, _ = m32.encode(p, s, x)
+    zdec, _ = mdec.encode(p, s, x)
+    zenc, _ = menc.encode(p, s, x)
+    np.testing.assert_array_equal(np.asarray(z32), np.asarray(zdec))
+    assert np.abs(np.asarray(z32) - np.asarray(zenc)).max() > 0
+
+    # decoder-scope forward grads: encoder leaves see bf16 rounding only
+    # through the straight-through path; all leaves stay f32 dtype
+    def loss(model, params):
+        return model.loss_fn(params, s, x, train=False,
+                             rng=jax.random.PRNGKey(1))[0]
+
+    g = jax.grad(lambda p_: loss(mdec, p_))(p)
+    assert all(t.dtype == jnp.float32 for t in jax.tree_util.tree_leaves(g))
+
+    with pytest.raises(ValueError):
+        make(compute_dtype=jnp.bfloat16, compute_scope="half")

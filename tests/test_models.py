@@ -315,3 +315,23 @@ def test_generate_kv_cache_dtype_and_fused_decode(rng):
                           decode_impl="fused")
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(bf16c))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+    bf16w = m.generate_kv(params, prompt, do_sample=False, num_steps=5,
+                          param_dtype=jnp.bfloat16)
+    bf16cw = m.generate_kv(params, prompt, do_sample=False, num_steps=5,
+                           cache_dtype=jnp.bfloat16,
+                           param_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(bf16w))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(bf16cw))
+    # segmented cache-prefix reads: same masked-softmax math, so the
+    # greedy sample must match exactly (buckets smaller than, equal
+    # to, and larger than the prompt)
+    for g in (2, 4, 16):
+        seg = m.generate_kv(params, prompt, do_sample=False, num_steps=5,
+                            cache_buckets=g)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(seg))
+    with pytest.raises(ValueError):
+        m.generate_kv(params, prompt, decode_impl="fused",
+                      param_dtype=jnp.bfloat16)
+    with pytest.raises(ValueError):
+        m.generate_kv(params, prompt, decode_impl="fused",
+                      cache_buckets=4)

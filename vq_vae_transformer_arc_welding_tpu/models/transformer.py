@@ -305,11 +305,20 @@ class TransformerDecoder(Module):
 
     # -- KV-cached sampling (O(T^2) total vs the reference's O(T^3)) -------
 
-    def _attn_cached(self, blk, x_tok, k_cache, v_cache, pos):
+    def _attn_cached(self, blk, x_tok, k_cache, v_cache, pos,
+                     attn_len=None):
         """One-token attention against a (B, H, T, D) cache; writes the
-        new k/v at `pos` and attends to positions <= pos."""
+        new k/v at `pos` and attends to positions <= pos.
+
+        attn_len (static) restricts the score/PV reads to the cache
+        prefix [:attn_len] — callers guarantee pos < attn_len, so the
+        masked tail that XLA would otherwise stream from HBM each step
+        is simply never read (generate_kv cache_buckets)."""
         p = blk["attn"]
-        qkv = jnp.dot(x_tok, p["c_attn_w"],
+        # weights may be stored bf16 (generate_kv param_dtype): the
+        # one-row activation is cast to the weight dtype so the MXU
+        # runs a homogeneous bf16 dot; accumulation stays f32
+        qkv = jnp.dot(x_tok.astype(p["c_attn_w"].dtype), p["c_attn_w"],
                       preferred_element_type=jnp.float32) + p["c_attn_b"]
         q, k, v = jnp.split(qkv, 3, axis=-1)         # (B, 1, C)
         q, k, v = (split_heads(t, self.n_head) for t in (q, k, v))
@@ -320,17 +329,18 @@ class TransformerDecoder(Module):
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, v.astype(v_cache.dtype), (0, 0, pos, 0))
         d = q.shape[-1]
-        att = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+        k_r = k_cache if attn_len is None else k_cache[:, :, :attn_len]
+        v_r = v_cache if attn_len is None else v_cache[:, :, :attn_len]
+        att = jnp.einsum("bhqd,bhkd->bhqk", q, k_r,
                          preferred_element_type=jnp.float32) / jnp.sqrt(
             jnp.asarray(d, jnp.float32))
-        t_cache = k_cache.shape[2]
-        valid = jnp.arange(t_cache)[None, None, None, :] <= pos
+        valid = jnp.arange(k_r.shape[2])[None, None, None, :] <= pos
         att = jnp.where(valid, att, -jnp.inf)
         att = jax.nn.softmax(att, axis=-1)
-        y = jnp.einsum("bhqk,bhkd->bhqd", att, v_cache,
+        y = jnp.einsum("bhqk,bhkd->bhqd", att, v_r,
                        preferred_element_type=jnp.float32)
         y = merge_heads(y)
-        y = jnp.dot(y, p["c_proj_w"],
+        y = jnp.dot(y.astype(p["c_proj_w"].dtype), p["c_proj_w"],
                     preferred_element_type=jnp.float32) + p["c_proj_b"]
         return y, k_cache, v_cache
 
@@ -353,7 +363,7 @@ class TransformerDecoder(Module):
                          preferred_element_type=jnp.float32)
         return logits, new_caches
 
-    def _token_step(self, params, tok, pos, caches):
+    def _token_step(self, params, tok, pos, caches, attn_len=None):
         """Embed one token at absolute position `pos` and run all
         blocks against the KV caches. Returns (logits_row, new_caches)."""
         x = jnp.take(params["tok_emb"], tok, axis=0)[:, None, :] \
@@ -361,18 +371,20 @@ class TransformerDecoder(Module):
         new_caches = []
         for blk, (k_c, v_c) in zip(params["blocks"], caches):
             h = layer_norm(x, blk["ln1_scale"], blk["ln1_bias"])
-            a, k_c, v_c = self._attn_cached(blk, h, k_c, v_c, pos)
+            a, k_c, v_c = self._attn_cached(blk, h, k_c, v_c, pos,
+                                            attn_len=attn_len)
             x = x + a
             h = layer_norm(x, blk["ln2_scale"], blk["ln2_bias"])
             m = blk["mlp"]
-            h = new_gelu(jnp.dot(h, m["c_fc_w"],
+            h = new_gelu(jnp.dot(h.astype(m["c_fc_w"].dtype), m["c_fc_w"],
                                  preferred_element_type=jnp.float32)
                          + m["c_fc_b"])
-            x = x + jnp.dot(h, m["c_proj_w"],
+            x = x + jnp.dot(h.astype(m["c_proj_w"].dtype), m["c_proj_w"],
                             preferred_element_type=jnp.float32) + m["c_proj_b"]
             new_caches.append((k_c, v_c))
         x = layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
-        logits = jnp.dot(x[:, 0], params["lm_head_w"],
+        logits = jnp.dot(x[:, 0].astype(params["lm_head_w"].dtype),
+                         params["lm_head_w"],
                          preferred_element_type=jnp.float32)
         return logits, new_caches
 
@@ -414,7 +426,8 @@ class TransformerDecoder(Module):
     def generate_kv(self, params, x_ids, *, do_sample: bool = False,
                     top_k: int | None = None, rng=None,
                     num_steps: int | None = None,
-                    decode_impl: str = "xla", cache_dtype=None):
+                    decode_impl: str = "xla", cache_dtype=None,
+                    param_dtype=None, cache_buckets: int | None = None):
         """KV-cached autoregressive sampling; same output contract as
         `generate` for any prompt length and step count.
 
@@ -437,7 +450,32 @@ class TransformerDecoder(Module):
         jnp.bfloat16 halves cache HBM traffic; scores still accumulate
         f32, so logits drift by bf16 rounding of cached K/V — sampled
         ids can differ near probability ties). None = f32 (exact).
+
+        param_dtype: streaming dtype for the decode-step WEIGHT
+        matrices (e.g. jnp.bfloat16). Single-token decode reads every
+        weight matrix from HBM each step (~101 MB f32 at d512/8b —
+        the dominant term of the decode floor, BENCHMARKS.md round 5);
+        bf16 storage halves that traffic. Weights are cast ONCE before
+        the scan; matmuls run bf16xbf16 with f32 accumulation. The
+        prefill forward and the context-cropping recompute tail keep
+        exact f32 weights. None = f32 (exact). XLA impl only.
+
+        cache_buckets: segment the decode scan so a step whose context
+        fits in the first G, 2G, ... cache positions reads only that
+        static prefix instead of streaming the whole (B, H, T, D)
+        cache from HBM every step (~32% of the per-step cache traffic
+        at the bench config with G=128 is masked-tail reads). Segment
+        boundaries are Python ints (prompt length and step count are
+        static), so each segment is its own lax.scan over a
+        statically-sliced cache — no dynamic shapes. Every step's
+        masked softmax sees exactly the same valid entries, so the
+        math is unchanged (tail entries are -inf -> exact zeros).
+        None = one scan over the full cache. XLA impl only.
         """
+        if param_dtype is not None and decode_impl != "xla":
+            raise ValueError("param_dtype requires decode_impl='xla'")
+        if cache_buckets is not None and decode_impl != "xla":
+            raise ValueError("cache_buckets requires decode_impl='xla'")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         steps = self.seq_len if num_steps is None else num_steps
@@ -478,25 +516,65 @@ class TransformerDecoder(Module):
         token_step = (self._token_step_fused if decode_impl == "fused"
                       else self._token_step)
 
-        def step(carry, key):
-            buf, cur, logits, *flat_caches = carry
-            caches = [(flat_caches[2 * i], flat_caches[2 * i + 1])
-                      for i in range(self.n_blocks)]
-            nxt = self._sample_from_logits(logits, key, do_sample, top_k)
-            buf = jax.lax.dynamic_update_slice(
-                buf, nxt[:, None].astype(buf.dtype), (0, cur))
-            # logits for the appended token (the clamp only ever fires on
-            # the final KV step, whose logits are never consumed)
-            new_logits, caches = token_step(
-                params, nxt.astype(jnp.int32),
-                jnp.minimum(cur, cache_len - 1), caches)
-            flat2 = []
-            for k_c, v_c in caches:
-                flat2.extend([k_c, v_c])
-            return (buf, cur + 1, new_logits, *flat2), None
+        step_params = params
+        if param_dtype is not None:
+            def _cast_block(bp):
+                return dict(
+                    bp,
+                    attn=dict(bp["attn"],
+                              c_attn_w=bp["attn"]["c_attn_w"]
+                              .astype(param_dtype),
+                              c_proj_w=bp["attn"]["c_proj_w"]
+                              .astype(param_dtype)),
+                    mlp=dict(bp["mlp"],
+                             c_fc_w=bp["mlp"]["c_fc_w"].astype(param_dtype),
+                             c_proj_w=bp["mlp"]["c_proj_w"]
+                             .astype(param_dtype)))
+            step_params = dict(
+                params,
+                blocks=[_cast_block(bp) for bp in params["blocks"]],
+                lm_head_w=params["lm_head_w"].astype(param_dtype))
+
+        def make_step(attn_len):
+            def step(carry, key):
+                buf, cur, logits, *flat_caches = carry
+                caches = [(flat_caches[2 * i], flat_caches[2 * i + 1])
+                          for i in range(self.n_blocks)]
+                nxt = self._sample_from_logits(logits, key, do_sample, top_k)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, nxt[:, None].astype(buf.dtype), (0, cur))
+                # logits for the appended token (the clamp only ever
+                # fires on the final KV step, whose logits are never
+                # consumed)
+                kw = ({"attn_len": attn_len}
+                      if decode_impl == "xla" else {})
+                new_logits, caches = token_step(
+                    step_params, nxt.astype(jnp.int32),
+                    jnp.minimum(cur, cache_len - 1), caches, **kw)
+                flat2 = []
+                for k_c, v_c in caches:
+                    flat2.extend([k_c, v_c])
+                return (buf, cur + 1, new_logits, *flat2), None
+            return step
 
         carry = (buf, jnp.asarray(t0), logits, *flat)
-        carry, _ = jax.lax.scan(step, carry, keys[:n_kv])
+        if cache_buckets:
+            bounds = list(range(cache_buckets, cache_len, cache_buckets))
+        else:
+            bounds = []
+        done = 0
+        for bound in bounds:
+            # segment handles scan steps i (write pos t0+i) with
+            # t0 + i + 1 <= bound
+            hi = min(n_kv, bound - t0)
+            if hi <= done:
+                continue
+            carry, _ = jax.lax.scan(make_step(bound), carry,
+                                    keys[done:hi])
+            done = hi
+        if done < n_kv:  # final segment: full cache (None = no slice)
+            carry, _ = jax.lax.scan(make_step(None), carry,
+                                    keys[done:n_kv])
         buf = carry[0]
         if steps > n_kv:  # context-cropping tail, reference semantics
             buf = self._recompute_scan(params, buf, t0 + n_kv, keys[n_kv:],

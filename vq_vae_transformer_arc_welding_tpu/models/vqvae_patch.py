@@ -53,7 +53,7 @@ class VQVAEPatch(Module):
                  batch_norm: bool = True, beta: float = 0.25,
                  use_improved_vq: bool = False, kmeans_iters: int = 0,
                  threshold_ema_dead_code: int = 2, vq_impl: str = "xla",
-                 compute_dtype=None):
+                 compute_dtype=None, compute_scope: str = "all"):
         if patch_size not in INVERSE_PATCH_PLANS:
             raise NotImplementedError(f"Patch size not implemented: {patch_size}")
         self.hidden_dim = hidden_dim
@@ -79,7 +79,21 @@ class VQVAEPatch(Module):
         # codebook indices remain computed from f32 distances. Mixed-
         # precision TRAINING mode: master weights/optimizer stay f32
         # (the cast happens inside the forward). None = exact f32.
+        # compute_scope narrows the cast to one half of the model:
+        # 'all' | 'encoder' | 'decoder'. Measured (BENCHMARKS.md round
+        # 5): scope='all' trains to equal-or-better recon loss but the
+        # latent space loses ~2 F1 pts of downstream class
+        # separability; scope='decoder' keeps the encoder/VQ math
+        # exact f32 so the straight-through gradient is the only bf16
+        # touchpoint on the latent path.
+        if compute_scope not in ("all", "encoder", "decoder"):
+            raise ValueError(f"compute_scope: {compute_scope}")
         self.compute_dtype = compute_dtype
+        self.compute_scope = compute_scope
+        self._enc_dtype = (compute_dtype
+                           if compute_scope in ("all", "encoder") else None)
+        self._dec_dtype = (compute_dtype
+                           if compute_scope in ("all", "decoder") else None)
         # tokens per cycle: 200//25 * 2 = 16 (reference :149)
         self.enc_out_len = seq_len // patch_size * input_dim
         self.n_patches = (seq_len * input_dim) // patch_size
@@ -157,14 +171,13 @@ class VQVAEPatch(Module):
 
     # -- forward pieces ---------------------------------------------------
 
-    def _cast_conv(self, conv_fn):
-        """Wrap a conv primitive so its matmul INPUTS run in
-        compute_dtype (bf16 multiply, f32 accumulate via the ops'
-        preferred_element_type=f32); identity when compute_dtype is
-        None. Bias adds stay f32."""
-        if self.compute_dtype is None:
+    def _cast_conv(self, conv_fn, cd):
+        """Wrap a conv primitive so its matmul INPUTS run in dtype cd
+        (bf16 multiply, f32 accumulate via the ops'
+        preferred_element_type=f32); identity when cd is None. Bias
+        adds stay f32."""
+        if cd is None:
             return conv_fn
-        cd = self.compute_dtype
         return lambda x, w, b: conv_fn(x.astype(cd), w.astype(cd), b)
 
     def _resblock(self, p, bn_state, x, conv_fn, *, train, rng):
@@ -195,14 +208,14 @@ class VQVAEPatch(Module):
 
     def encode(self, params, state, x, *, train=False, rng=None):
         """(B, seq_len, input_dim) -> z_e (B, enc_out_len, embedding_dim)."""
-        cd = self.compute_dtype
+        cd = self._enc_dtype
         pe = params["patch_embed"]
         h = (patch_embed(x, pe["kernel"], pe["bias"], self.patch_size)
              if cd is None else
              patch_embed(x.astype(cd), pe["kernel"].astype(cd), pe["bias"],
                          self.patch_size))
         bn = state.get("encoder_bn") if self.batch_norm else None
-        ctd = self._cast_conv(center_tap_dense)
+        ctd = self._cast_conv(center_tap_dense, cd)
         h, enc_bn = self._run_blocks(params["encoder"], bn, h, ctd,
                                      train=train, rng=rng)
         # SepCNNBlock: shared 1x1 conv hidden->embed per position (:77-91).
@@ -230,15 +243,15 @@ class VQVAEPatch(Module):
 
     def decode(self, params, state, z_q, *, train=False, rng=None):
         """z_q (B, enc_out_len, D) -> x_hat (B, seq_len, input_dim)."""
-        ctd = self._cast_conv(center_tap_dense)
+        cd = self._dec_dtype
+        ctd = self._cast_conv(center_tap_dense, cd)
         h = ctd(z_q, params["decoder_in"]["w"], params["decoder_in"]["b"])
         bn = state.get("decoder_bn") if self.batch_norm else None
         h, dec_bn = self._run_blocks(params["decoder"], bn, h,
-                                     self._cast_conv(conv1d_same),
+                                     self._cast_conv(conv1d_same, cd),
                                      train=train, rng=rng)
         inv = params["inverse"]
-        if self.compute_dtype is not None:
-            cd = self.compute_dtype
+        if cd is not None:
             inv = dict(inv, ct1_kernel=inv["ct1_kernel"].astype(cd),
                        ct2_kernel=inv["ct2_kernel"].astype(cd))
             # patch_embed_inverse's einsums accumulate f32; cast only

@@ -317,7 +317,8 @@ class WeldingQualityPipeline:
                       prompt: np.ndarray | None = None,
                       top_k: int | None = None, seed: int = 0,
                       num_steps: int | None = None,
-                      cache_dtype=None) -> np.ndarray:
+                      cache_dtype=None, param_dtype=None,
+                      cache_buckets: int | None = None) -> np.ndarray:
         """Autoregressively sample latent token sequences from the
         generation head (KV-cached: batched prefill, recompute tail once
         the context outgrows seq_len).
@@ -333,7 +334,16 @@ class WeldingQualityPipeline:
         (scoring stays f32): measured 0.65 -> 0.42 ms/token at the
         bench config with 99.6% sampled-id agreement (BENCHMARKS.md
         round 5) — ids can differ near probability ties, so the
-        default stays exact f32."""
+        default stays exact f32.
+
+        param_dtype=jnp.bfloat16 additionally streams the decode-step
+        weight matrices in bf16 (f32 accumulation; prefill and the
+        recompute tail stay exact f32) — see generate_kv and the
+        BENCHMARKS.md round-5 decode table.
+
+        cache_buckets=G segments the decode scan so early steps read
+        only a static cache prefix (identical masked-softmax math;
+        see generate_kv)."""
         if prompt is not None:
             prompt = jnp.asarray(prompt, jnp.int32)
             start = jnp.concatenate(
@@ -352,5 +362,6 @@ class WeldingQualityPipeline:
         out = self.tr_model.generate_kv(
             self.tr_params, start, do_sample=True, top_k=top_k,
             rng=jax.random.PRNGKey(seed), num_steps=num_steps,
-            cache_dtype=cache_dtype)
+            cache_dtype=cache_dtype, param_dtype=param_dtype,
+            cache_buckets=cache_buckets)
         return np.asarray(out[:, 1:])
