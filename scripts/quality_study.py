@@ -542,6 +542,17 @@ latent arrays equal this framework's materialized latents bit-for-bit
 
 Raw per-seed numbers: `results.json` in the study output directory.
 
+## Mixed-precision training quality (bf16)
+
+Measured separately (`scripts/bf16_quality_check.py`, TPU, 3 seeds,
+same-init f32 vs bf16 VQ-VAE + exact-f32 downstream latent MLP):
+whole-model bf16 VQ-VAE training reaches equal-or-better recon loss
+but consistently costs **-2.25 F1 pts** of downstream latent
+separability (outside the contract); scoping the cast to one half
+(`compute_scope='encoder'`: -0.43 pts, `'decoder'`: -0.76 pts) stays
+within the contract at near-full speedup. Full tables + adoption
+decision: BENCHMARKS.md round 5. f32 remains the default everywhere.
+
 ## Real ASIMoW dataset: blocked (zero egress)
 
 The reference is demonstrated on the ASIMoW dataset (Zenodo record

@@ -342,8 +342,13 @@ class WeldingQualityPipeline:
         BENCHMARKS.md round-5 decode table.
 
         cache_buckets=G segments the decode scan so early steps read
-        only a static cache prefix (identical masked-softmax math;
-        see generate_kv)."""
+        only a static cache prefix (identical masked-softmax math; the
+        smaller einsum's reduction order drifts at the ulp level, so
+        ~0.1-0.4% of sampled ids can flip at probability ties).
+        Measured fast recipe at the bench config
+        (cache_dtype=jnp.bfloat16, cache_buckets=64): **0.64 -> 0.31
+        ms/token**, id agreement 0.996 (BENCHMARKS.md round 5). The
+        default stays the exact single-scan f32 path."""
         if prompt is not None:
             prompt = jnp.asarray(prompt, jnp.int32)
             start = jnp.concatenate(
