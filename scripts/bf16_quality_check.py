@@ -57,7 +57,19 @@ ARMS = {
 }
 
 
-def run_seed(d, ids, val_ids, test_ids, seed, arms):
+# VQ-VAE configs: 'study' = the quality-study config; 'reference' =
+# the reference entry-point defaults
+# (train_reconstruction_embedding.py:220-230)
+VQ_SCALES = {
+    "study": dict(hidden_dim=64, num_embeddings=32, embedding_dim=8,
+                  n_resblocks=2),
+    "reference": dict(hidden_dim=512, num_embeddings=256, embedding_dim=32,
+                      n_resblocks=8),
+}
+
+
+def run_seed(d, ids, val_ids, test_ids, seed, arms, vq_scale):
+    vq_kw = VQ_SCALES[vq_scale]
     out = {}
     vq_trained = {}
     for mode in arms:
@@ -67,10 +79,9 @@ def run_seed(d, ids, val_ids, test_ids, seed, arms):
                               test_data_ids=ids["test_ids"],
                               batch_size=128, data_directory_path=d)
         dm.setup()
-        model = VQVAEPatch(hidden_dim=64, input_dim=2, num_embeddings=32,
-                           embedding_dim=8, n_resblocks=2,
-                           learning_rate=1e-3, batch_norm=False,
-                           compute_dtype=cd, compute_scope=scope)
+        model = VQVAEPatch(input_dim=2, learning_rate=1e-3,
+                           batch_norm=False, compute_dtype=cd,
+                           compute_scope=scope, **vq_kw)
         params, state = model.init(seed)
         tr = Trainer(max_epochs=15, monitor="val/loss", mode="min",
                      verbose=False, seed=seed)
@@ -81,10 +92,8 @@ def run_seed(d, ids, val_ids, test_ids, seed, arms):
         out[f"vq_{mode}_test_loss"] = round(float(test["test/loss"]), 5)
         # downstream classifier consumes EXACT-f32 latents of the
         # trained model (compute_dtype only affects training math)
-        model_exact = VQVAEPatch(hidden_dim=64, input_dim=2,
-                                 num_embeddings=32, embedding_dim=8,
-                                 n_resblocks=2, learning_rate=1e-3,
-                                 batch_norm=False)
+        model_exact = VQVAEPatch(input_dim=2, learning_rate=1e-3,
+                                 batch_norm=False, **vq_kw)
         vq_trained[mode] = (model_exact, res.params, res.state)
 
     for mode, triple in vq_trained.items():
@@ -123,13 +132,14 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--arms", nargs="+", default=["f32", "bf16"],
                     choices=sorted(ARMS))
+    ap.add_argument("--vq-scale", default="study", choices=sorted(VQ_SCALES))
     a = ap.parse_args()
     if "f32" not in a.arms:
         a.arms.insert(0, "f32")
 
     per_seed = []
     for seed in a.seeds:
-        r = run_seed(d, ids, val_ids, test_ids, seed, a.arms)
+        r = run_seed(d, ids, val_ids, test_ids, seed, a.arms, a.vq_scale)
         per_seed.append(r)
         print(f"seed {seed}: {json.dumps(r)}", file=sys.stderr, flush=True)
 
