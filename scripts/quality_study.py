@@ -339,6 +339,16 @@ def run_study(out_dir, seeds):
     cwd = os.getcwd()
     os.chdir(out_dir)  # CLI entry points write model_checkpoints/ here
     all_results = {}
+
+    def _flush_partial(seed, res):
+        # per-LEG incremental dump: a seed interrupted mid-study (the
+        # torch transformer twin alone is ~2.5 h on this 1-CPU host)
+        # still leaves its completed legs harvestable
+        partial = dict(all_results)
+        partial[seed] = res
+        with open(os.path.join(out_dir, "results_partial.json"), "w") as f:
+            json.dump(partial, f, indent=2, default=float)
+
     try:
         for seed in seeds:
             res = {}
@@ -363,16 +373,20 @@ def run_study(out_dir, seeds):
                 weights_only=False)["state_dict"])
             jax_twin.eval()
 
+            _flush_partial(seed, res)
             print(f"=== seed {seed}: MLP raw ===", flush=True)
             res["mlp_raw"] = study_classifier("mlp_raw", MLP_RAW, data_dir,
                                               seed)
+            _flush_partial(seed, res)
             print(f"=== seed {seed}: GRU raw ===", flush=True)
             res["gru_raw"] = study_classifier("gru_raw", GRU_RAW, data_dir,
                                               seed)
+            _flush_partial(seed, res)
             print(f"=== seed {seed}: MLP latent ===", flush=True)
             res["mlp_latent"] = study_classifier(
                 "mlp_latent", MLP_LATENT, data_dir, seed, vq_ckpt=jax_ckpt,
                 jax_twin=jax_twin)
+            _flush_partial(seed, res)
             print(f"=== seed {seed}: transformer ===", flush=True)
             res["transformer"] = study_transformer(data_dir, seed, jax_ckpt)
             all_results[seed] = res

@@ -28,6 +28,10 @@ dynamic-update-slice + einsum path touches the caches once. The
 sampler keeps the XLA step; this kernel stays as a correctness-tested
 reference for per-sample fused decoding (e.g. for much longer caches
 where VMEM residence across steps would pay).
+
+The adopted fast path is instead XLA-level (BENCHMARKS.md round 5):
+bf16 K/V cache storage + segmented static cache-prefix reads
+(generate_kv cache_dtype / cache_buckets) — 0.64 -> 0.31 ms/token.
 """
 from __future__ import annotations
 
