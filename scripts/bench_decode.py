@@ -56,6 +56,12 @@ def main():
     log(f"backend: {dev.platform}:{dev.device_kind}, batch {args.batch}, "
         f"{args.steps} steps")
 
+    known = {"xla", "fused", "xla-bf16c", "xla-bf16w", "xla-bf16cw",
+             "xla-seg", "xla-bf16c-seg", "xla-seg64", "xla-bf16c-seg64"}
+    unknown = set(args.impls) - known
+    if unknown:  # a typo would silently bench the plain XLA path
+        sys.exit(f"unknown impls {sorted(unknown)}; known: {sorted(known)}")
+
     results = {}
     outs = {}
     for impl in args.impls:

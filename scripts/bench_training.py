@@ -209,7 +209,9 @@ def main():
 
     dev = jax.devices()[0]
     log(f"backend: {dev.platform}:{dev.device_kind}")
-    dtypes = (["f32", "bf16"] if args.dtype == ["both"] else args.dtype)
+    dtypes = []
+    for d in args.dtype:  # expand 'both' wherever it appears
+        dtypes.extend(["f32", "bf16"] if d == "both" else [d])
     out = []
     for name in args.configs:
         for dtype in dtypes:

@@ -121,19 +121,19 @@ def run_seed(d, ids, val_ids, test_ids, seed, arms, vq_scale):
 
 
 def main():
-    d = tempfile.mkdtemp()
-    write_synthetic_csv(os.path.join(d, "processed_asimow_dataset.csv"),
-                        n_cycles_per_run=200, extra_train_runs=10)
-    ids = get_val_test_ids()
-    val_ids = parse_split_ids(ids["val_ids"])
-    test_ids = parse_split_ids(ids["test_ids"])
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--arms", nargs="+", default=["f32", "bf16"],
                     choices=sorted(ARMS))
     ap.add_argument("--vq-scale", default="study", choices=sorted(VQ_SCALES))
     a = ap.parse_args()
+
+    d = tempfile.mkdtemp()
+    write_synthetic_csv(os.path.join(d, "processed_asimow_dataset.csv"),
+                        n_cycles_per_run=200, extra_train_runs=10)
+    ids = get_val_test_ids()
+    val_ids = parse_split_ids(ids["val_ids"])
+    test_ids = parse_split_ids(ids["test_ids"])
     if "f32" not in a.arms:
         a.arms.insert(0, "f32")
 

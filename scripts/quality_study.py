@@ -328,6 +328,10 @@ def study_transformer(data_dir, seed, vq_ckpt):
 
 
 def run_study(out_dir, seeds):
+    # the study chdirs into out_dir (the CLI entry points write
+    # model_checkpoints/ to cwd) — resolve before that so a relative
+    # --out-dir doesn't double up
+    out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -602,10 +606,19 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
     ap.add_argument("--smoke", action="store_true",
                     help="tiny configs, flow check only")
-    ap.add_argument("--md-out", default=os.path.join(REPO, "QUALITY.md"))
+    # default writes NEXT TO the study output: the committed QUALITY.md
+    # is a hand-merged two-study report (Study A + Study B + ref-scale
+    # + mixed-precision sections) — regenerating it wholesale would
+    # revert that structure. Pass --md-out explicitly to overwrite it.
+    ap.add_argument("--md-out", default=None,
+                    help="markdown report path (default: "
+                         "<out-dir>/QUALITY_generated.md)")
     ap.add_argument("--ref-scale-json", default=None,
                     help="merge scripts/quality_ref_scale.py results")
     a = ap.parse_args()
+    if a.md_out is None:
+        a.md_out = os.path.join(os.path.abspath(a.out_dir),
+                                "QUALITY_generated.md")
     if a.smoke:
         _shrink_for_smoke()
     results = run_study(a.out_dir, a.seeds)

@@ -29,8 +29,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results", required=True)
     ap.add_argument("--ref-scale-json", default=None)
-    ap.add_argument("--md-out", default=os.path.join(REPO, "QUALITY.md"))
+    # QUALITY.md is a hand-merged two-study report; default to a
+    # sibling of the results file so a rebuild never clobbers it
+    ap.add_argument("--md-out", default=None,
+                    help="output path (default: <results dir>/"
+                         "QUALITY_generated.md)")
     a = ap.parse_args()
+    if a.md_out is None:
+        a.md_out = os.path.join(
+            os.path.dirname(os.path.abspath(a.results)),
+            "QUALITY_generated.md")
     with open(a.results) as f:
         results = {int(k): v for k, v in json.load(f).items()}
     ref_scale = None

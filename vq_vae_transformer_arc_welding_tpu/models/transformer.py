@@ -468,9 +468,13 @@ class TransformerDecoder(Module):
         boundaries are Python ints (prompt length and step count are
         static), so each segment is its own lax.scan over a
         statically-sliced cache — no dynamic shapes. Every step's
-        masked softmax sees exactly the same valid entries, so the
-        math is unchanged (tail entries are -inf -> exact zeros).
-        None = one scan over the full cache. XLA impl only.
+        masked softmax sees exactly the same valid entries (tail
+        entries are -inf -> exact zeros), but the smaller einsum's
+        reduction ORDER can differ at the ulp level: greedy decoding
+        matches the unsegmented path exactly in tests, while sampled
+        ids near probability ties can flip (~0.1% measured at the
+        bench scale — BENCHMARKS.md round 5). None = one scan over
+        the full cache. XLA impl only.
         """
         if param_dtype is not None and decode_impl != "xla":
             raise ValueError("param_dtype requires decode_impl='xla'")
