@@ -178,6 +178,8 @@ def build(name, dtype, rng):
         # n_cycles 20 (T=321), d512/8 heads, accumulate 5, clip 0.8;
         # 8 blocks per the BASELINE.json config set. Generation stage
         # (the schedule's 15-epochs-per-iter dominant task).
+        # TR_BATCH (--tr-bs) overrides the batch to probe the
+        # latency-bound-vs-MXU-bound claim at serving-style batches.
         vocab = 258
         seq = 20 * 16 + 1
         model = TransformerDecoder(d_model=512, n_classes=vocab, seq_len=seq,
@@ -187,7 +189,7 @@ def build(name, dtype, rng):
         x = rng.integers(0, 256, (n, seq)).astype(np.int64)
         y = np.concatenate([x[:, 1:], np.full((n, 1), -1)], 1).astype(np.int64)
         cond = rng.integers(0, 2, (n,)).astype(np.int64)
-        dm = SynthDataModule(x, y, cond, batch_size=16)
+        dm = SynthDataModule(x, y, cond, batch_size=TR_BATCH)
         task = TransformerGenTask(model)
         params, _ = model.init(0)
         tx = make_transformer_optimizer(model, params, clip_norm=0.8)
@@ -196,6 +198,7 @@ def build(name, dtype, rng):
 
 
 CONFIGS = ["vqvae", "mlp_raw", "gru_raw", "mlp_latent", "transformer"]
+TR_BATCH = 16  # reference default; --tr-bs overrides
 
 
 def main():
@@ -205,7 +208,11 @@ def main():
                     choices=["f32", "bf16", "bf16_dec", "bf16_enc", "both"],
                     default=["both"])
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--tr-bs", type=int, default=16,
+                    help="transformer batch size (reference default 16)")
     args = ap.parse_args()
+    global TR_BATCH
+    TR_BATCH = args.tr_bs
 
     dev = jax.devices()[0]
     log(f"backend: {dev.platform}:{dev.device_kind}")
