@@ -121,7 +121,7 @@ def _asimow_dm(task, n_cycles, bs, data_dir):
 # per-component studies (each returns {"jax": {...}, "torch": {...}})
 
 
-def study_vqvae(data_dir, seed):
+def study_vqvae(data_dir, seed, train_torch=True):
     leg = _jax_leg("recon", [
         "--epochs", str(VQ["epochs"]), "--batch-size", str(VQ["bs"]),
         "--num-embeddings", str(VQ["k"]), "--embedding-dim", str(VQ["d"]),
@@ -134,6 +134,11 @@ def study_vqvae(data_dir, seed):
     jx = {"val/loss": leg["val/loss"],
           "test/loss": leg["test/loss"],
           "test/recon_error": leg["test/recon_error"]}
+
+    if not train_torch:
+        # torch-twin VQ training skipped (legs selection): the jax leg
+        # still runs because downstream legs need its checkpoint
+        return {"jax": jx, "torch": {}}, best_ckpt_path, None, None
 
     torch.manual_seed(seed)
     twin = TwinVQVAEPatch(VQ["hidden"], 2, VQ["k"], VQ["d"], VQ["n_res"],
@@ -345,7 +350,10 @@ def study_transformer(data_dir, seed, vq_ckpt):
 # ---------------------------------------------------------------------------
 
 
-def run_study(out_dir, seeds):
+ALL_LEGS = ("vqvae", "mlp_raw", "gru_raw", "mlp_latent", "transformer")
+
+
+def run_study(out_dir, seeds, legs=ALL_LEGS):
     # the study chdirs into out_dir (the CLI entry points write
     # model_checkpoints/ to cwd) — resolve before that so a relative
     # --out-dir doesn't double up
@@ -355,9 +363,7 @@ def run_study(out_dir, seeds):
     os.makedirs(data_dir, exist_ok=True)
     csv = os.path.join(data_dir, "processed_asimow_dataset.csv")
     if not os.path.exists(csv):
-        write_synthetic_csv(csv, n_cycles_per_run=DATA["n_cycles_per_run"],
-                            extra_train_runs=DATA["extra_train_runs"],
-                            seed=DATA["seed"])
+        write_synthetic_csv(csv, **DATA)
     cwd = os.getcwd()
     os.chdir(out_dir)  # CLI entry points write model_checkpoints/ here
     all_results = {}
@@ -371,46 +377,63 @@ def run_study(out_dir, seeds):
         with open(os.path.join(out_dir, "results_partial.json"), "w") as f:
             json.dump(partial, f, indent=2, default=float)
 
+    import time as _time
+    t_start = _time.time()
+
+    def _banner(seed, leg):
+        print(f"=== seed {seed}: {leg} === "
+              f"[t+{_time.time() - t_start:.0f}s]", flush=True)
+
     try:
         for seed in seeds:
             res = {}
-            print(f"=== seed {seed}: VQ-VAE ===", flush=True)
+            _banner(seed, "VQ-VAE")
+            # the jax VQ leg always runs (its checkpoint feeds the
+            # latent/transformer legs); the torch twin trains only when
+            # the vqvae parity row itself was requested
             res["vqvae"], jax_ckpt, torch_twin, recon_dm = study_vqvae(
-                data_dir, seed)
-            if seed == seeds[0]:
+                data_dir, seed, train_torch="vqvae" in legs)
+            if seed == seeds[0] and torch_twin is not None:
                 res["roundtrip"] = roundtrip_checks(
                     jax_ckpt, torch_twin, recon_dm, out_dir)
-            # twin of the JAX-trained VQ-VAE for latent materialization
-            from vq_vae_transformer_arc_welding_tpu.models.vqvae_patch import (
-                VQVAEPatch)
-            model, params, state = VQVAEPatch.load(jax_ckpt)
-            export_path = os.path.join(out_dir, f"jax_vq_seed{seed}.ckpt")
-            export_vqvae_to_lightning(model, params, state, export_path)
-            jax_twin = TwinVQVAEPatch(
-                model.hidden_dim, model.input_dim, model.num_embeddings,
-                model.embedding_dim, model.n_resblocks, p=model.dropout_p,
-                patch=model.patch_size, bn=model.batch_norm)
-            jax_twin.load_state_dict(torch.load(
-                export_path, map_location="cpu",
-                weights_only=False)["state_dict"])
-            jax_twin.eval()
+            if "mlp_latent" in legs:
+                # twin of the JAX-trained VQ-VAE for latent materialization
+                from vq_vae_transformer_arc_welding_tpu.models.vqvae_patch \
+                    import VQVAEPatch
+                model, params, state = VQVAEPatch.load(jax_ckpt)
+                export_path = os.path.join(out_dir, f"jax_vq_seed{seed}.ckpt")
+                export_vqvae_to_lightning(model, params, state, export_path)
+                jax_twin = TwinVQVAEPatch(
+                    model.hidden_dim, model.input_dim, model.num_embeddings,
+                    model.embedding_dim, model.n_resblocks, p=model.dropout_p,
+                    patch=model.patch_size, bn=model.batch_norm)
+                jax_twin.load_state_dict(torch.load(
+                    export_path, map_location="cpu",
+                    weights_only=False)["state_dict"])
+                jax_twin.eval()
 
             _flush_partial(seed, res)
-            print(f"=== seed {seed}: MLP raw ===", flush=True)
-            res["mlp_raw"] = study_classifier("mlp_raw", MLP_RAW, data_dir,
-                                              seed)
-            _flush_partial(seed, res)
-            print(f"=== seed {seed}: GRU raw ===", flush=True)
-            res["gru_raw"] = study_classifier("gru_raw", GRU_RAW, data_dir,
-                                              seed)
-            _flush_partial(seed, res)
-            print(f"=== seed {seed}: MLP latent ===", flush=True)
-            res["mlp_latent"] = study_classifier(
-                "mlp_latent", MLP_LATENT, data_dir, seed, vq_ckpt=jax_ckpt,
-                jax_twin=jax_twin)
-            _flush_partial(seed, res)
-            print(f"=== seed {seed}: transformer ===", flush=True)
-            res["transformer"] = study_transformer(data_dir, seed, jax_ckpt)
+            if "mlp_raw" in legs:
+                _banner(seed, "MLP raw")
+                res["mlp_raw"] = study_classifier("mlp_raw", MLP_RAW,
+                                                  data_dir, seed)
+                _flush_partial(seed, res)
+            if "gru_raw" in legs:
+                _banner(seed, "GRU raw")
+                res["gru_raw"] = study_classifier("gru_raw", GRU_RAW,
+                                                  data_dir, seed)
+                _flush_partial(seed, res)
+            if "mlp_latent" in legs:
+                _banner(seed, "MLP latent")
+                res["mlp_latent"] = study_classifier(
+                    "mlp_latent", MLP_LATENT, data_dir, seed,
+                    vq_ckpt=jax_ckpt, jax_twin=jax_twin)
+                _flush_partial(seed, res)
+            if "transformer" in legs:
+                _banner(seed, "transformer")
+                res["transformer"] = study_transformer(data_dir, seed,
+                                                       jax_ckpt)
+                _flush_partial(seed, res)
             all_results[seed] = res
             with open(os.path.join(out_dir, "results.json"), "w") as f:
                 json.dump(all_results, f, indent=2, default=float)
@@ -423,9 +446,19 @@ def write_quality_md(results, path, ref_scale=None):
     seeds = sorted(results)
 
     def agg(component, side, metric):
+        # tolerate heterogeneous seeds (legs can be run selectively and
+        # merged: e.g. classifiers at 5 seeds, transformer at 3)
         vals = [results[s][component][side][metric] for s in seeds
-                if metric in results[s][component][side]]
+                if component in results[s]
+                and metric in results[s][component].get(side, {})]
+        if not vals:
+            return float("nan"), float("nan")
         return float(np.mean(vals)), float(np.std(vals))
+
+    def n_seeds(component, side, metric):
+        return sum(component in results[s]
+                   and metric in results[s][component].get(side, {})
+                   for s in seeds)
 
     rows = []
     specs = [
@@ -444,6 +477,7 @@ def write_quality_md(results, path, ref_scale=None):
     for label, comp, metric, kind in specs:
         jm, js = agg(comp, "jax", metric)
         tm, ts = agg(comp, "torch", metric)
+        ns = min(n_seeds(comp, "jax", metric), n_seeds(comp, "torch", metric))
         delta = jm - tm
         if kind == "f1":
             passed = abs(delta) <= 0.005 + js + ts  # 0.5 F1 pts + seed noise
@@ -452,23 +486,24 @@ def write_quality_md(results, path, ref_scale=None):
         else:
             ok = "—"
         rows.append(f"| {label} | `{metric}` | {tm:.4f} ± {ts:.4f} | "
-                    f"{jm:.4f} ± {js:.4f} | {delta:+.4f} | {ok} |")
+                    f"{jm:.4f} ± {js:.4f} | {delta:+.4f} | {ns} | {ok} |")
 
     tf1 = [(results[s]["transformer"]["jax"]["test/cl/f1_score"],
             results[s]["transformer"]["torch"]["test/cl/f1_score"])
-           for s in seeds]
+           for s in seeds if "transformer" in results[s]]
     degen = sum(v == 0.0 for pair in tf1 for v in pair)
     tr_note = (
         f"\n**Transformer class-head outcomes** (per-seed (jax, torch) "
         f"`test/cl/f1_score`): {[(round(a, 3), round(b, 3)) for a, b in tf1]}"
-        f" — {degen} of {2 * len(seeds)} runs degenerate (constant "
+        f" — {degen} of {2 * len(tf1)} runs degenerate (constant "
         "predictor). The per-step training math is bit-equal between the "
         "stacks (tests/test_grad_parity.py::test_transformer_radam_"
         "trajectory_matches_torch, max loss drift ~1e-6 over 30 "
         "RAdam+clip+accumulate steps), so outcome differences are "
         "training-stochasticity draws, identical in distribution.\n")
 
-    rt = results[seeds[0]].get("roundtrip", {})
+    rt = next((results[s]["roundtrip"] for s in seeds
+               if "roundtrip" in results[s]), {})
     ref_md = ""
     if ref_scale:
         rs_rows = "\n".join(
@@ -546,8 +581,8 @@ reference-scale training below, which runs on the TPU.
 
 ## Results (mean ± std over {len(seeds)} seeds)
 
-| Component | Metric | reference (torch) | this framework | Δ (ours − ref) | within 0.5 F1 pts |
-|---|---|---|---|---|---|
+| Component | Metric | reference (torch) | this framework | Δ (ours − ref) | seeds | within 0.5 F1 pts |
+|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 **Contract**: classification F1 within 0.5 pts of the reference
@@ -622,6 +657,21 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default="/tmp/quality_study")
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2, 3, 4])
+    ap.add_argument("--legs", nargs="+", default=list(ALL_LEGS),
+                    choices=list(ALL_LEGS),
+                    help="run only these legs (the jax VQ leg always "
+                         "runs to supply the checkpoint); partial "
+                         "results merge via scripts/merge_quality_results.py")
+    ap.add_argument("--data-regime", choices=["iid", "markov"],
+                    default="iid",
+                    help="synthetic label process: 'iid' = the original "
+                         "Study B regime; 'markov' = bursty defects + "
+                         "subtler signatures (signature_strength 0.5) — "
+                         "the discriminative regime where high-capacity "
+                         "classifiers have a learnable target above the "
+                         "constant-predictor attractor (Study C). Use a "
+                         "fresh --out-dir per regime: the CSV is cached "
+                         "inside it")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny configs, flow check only")
     # default writes NEXT TO the study output: the committed QUALITY.md
@@ -639,7 +689,9 @@ if __name__ == "__main__":
                                 "QUALITY_generated.md")
     if a.smoke:
         _shrink_for_smoke()
-    results = run_study(a.out_dir, a.seeds)
+    if a.data_regime == "markov":
+        DATA.update(label_process="markov", signature_strength=0.5)
+    results = run_study(a.out_dir, a.seeds, legs=tuple(a.legs))
     ref_scale = None
     if a.ref_scale_json and os.path.exists(a.ref_scale_json):
         with open(a.ref_scale_json) as f:

@@ -30,18 +30,24 @@ from .asimow import CYCLE_LEN
 from .splits import get_val_test_ids
 
 
-def synthetic_cycles(rng: np.random.Generator, n: int, labels: np.ndarray):
+def synthetic_cycles(rng: np.random.Generator, n: int, labels: np.ndarray,
+                     signature_strength: float = 1.0):
     """Short-arc GMAW cycles: (V (n, 200), I (n, 200)) float32.
 
     labels: 1 = good (stable transfer), 0 = bad (process instability).
+    signature_strength scales every bad-cycle signature amplitude
+    (1.0 = the loud default; ~0.5 overlaps the good-cycle morphology so
+    per-cycle classification needs the full waveform, not one feature).
     """
     k = CYCLE_LEN
+    s = float(signature_strength)
     ts = np.arange(k)[None, :]
     good = labels != 0
     # short-circuit length: stable ~28 samples for good cycles,
     # erratic for bad ones (irregular droplet transfer)
     sc_len = np.where(good, rng.normal(28.0, 2.0, n),
-                      rng.normal(30.0, 9.0, n)).clip(8, 70)[:, None]
+                      rng.normal(28.0 + 2.0 * s, 2.0 + 7.0 * s, n)
+                      ).clip(8, 70)[:, None]
     in_sc = ts < sc_len
 
     # voltage: wetting (~3 V) during short circuit, re-ignition spike,
@@ -56,7 +62,7 @@ def synthetic_cycles(rng: np.random.Generator, n: int, labels: np.ndarray):
     # current: ramps up along the inductance during the short circuit,
     # peaks at re-ignition, decays to the background current
     i_peak = np.where(good, rng.normal(420.0, 15.0, n),
-                      rng.normal(420.0, 45.0, n))[:, None]
+                      rng.normal(420.0, 15.0 + 30.0 * s, n))[:, None]
     i_bg = 60.0
     ramp = i_bg + (i_peak - i_bg) * (ts / sc_len).clip(0, 1) ** 1.5
     decay = i_bg + (i_peak - i_bg) * np.exp(-arc_t / 45.0)
@@ -72,28 +78,48 @@ def synthetic_cycles(rng: np.random.Generator, n: int, labels: np.ndarray):
         tb = ts.repeat(nb, axis=0)
         # harmonic ripple (arc wander) on both channels
         ph = rng.uniform(0, 2 * np.pi, (nb, 1))
-        v[bad] += 2.5 * np.sin(2 * np.pi * 3 * tb / k + ph) \
-            + 1.2 * rng.standard_normal((nb, k))
-        i[bad] += 20.0 * np.sin(2 * np.pi * 5 * tb / k + ph)
+        v[bad] += 2.5 * s * np.sin(2 * np.pi * 3 * tb / k + ph) \
+            + 1.2 * s * rng.standard_normal((nb, k))
+        i[bad] += 20.0 * s * np.sin(2 * np.pi * 5 * tb / k + ph)
         # re-ignition failures: voltage collapses mid-arc for a stretch
         drop_start = rng.integers(60, k - 40, nb)
         drop_len = rng.integers(10, 35, nb)
         spike_pos = rng.integers(40, k - 10, nb)
         rows = np.where(bad)[0]
-        for row, s, ln, sp in zip(rows, drop_start, drop_len, spike_pos):
-            v[row, s:s + ln] *= 0.25
-            i[row, s:s + ln] *= 1.4          # current surges into the short
+        for row, st, ln, sp in zip(rows, drop_start, drop_len, spike_pos):
+            v[row, st:st + ln] *= 1.0 - 0.75 * s
+            i[row, st:st + ln] *= 1.0 + 0.4 * s  # current surge into short
             # spatter: brief current spike with voltage pop
-            i[row, sp:sp + 4] += rng.normal(150.0, 30.0)
-            v[row, sp:sp + 4] += rng.normal(6.0, 2.0)
+            i[row, sp:sp + 4] += rng.normal(150.0 * s, 30.0 * s)
+            v[row, sp:sp + 4] += rng.normal(6.0 * s, 2.0 * s)
     return v.astype(np.float32), i.astype(np.float32)
 
 
 def make_synthetic_arrays(n_cycles_per_run: int = 60, seed: int = 0,
                           extra_train_runs: int = 6, bad_fraction: float = 0.3,
-                          unlabeled_fraction: float = 0.1):
+                          unlabeled_fraction: float = 0.1,
+                          label_process: str = "iid",
+                          signature_strength: float = 1.0,
+                          markov_persistence: float = 0.85):
     """Build (vi, labels, experiment, welding_run) covering every
-    benchmark val/test id plus extra train-only runs."""
+    benchmark val/test id plus extra train-only runs.
+
+    label_process:
+      "iid"    — per-cycle labels drawn i.i.d. around the run's quality
+                 level (the original regime). Windows labeled with the
+                 NEXT cycle's label then carry ~the run defect rate as
+                 irreducible noise, which at high model capacity pulls
+                 training into the constant-predictor attractor
+                 (QUALITY.md Study B).
+      "markov" — defects arrive in bursts: a 2-state Markov chain whose
+                 stationary defect rate is the run's quality level and
+                 whose persistence is `markov_persistence`. Real process
+                 instabilities persist across neighboring cycles, and
+                 the next-cycle label becomes genuinely predictable from
+                 the current window (Bayes error ≈ 1 − persistence), so
+                 high-capacity classifiers have a learnable target well
+                 above the majority-class attractor.
+    """
     rng = np.random.default_rng(seed)
     ids = get_val_test_ids()
     runs = list(ids["val_ids"]) + list(ids["test_ids"])
@@ -107,14 +133,40 @@ def make_synthetic_arrays(n_cycles_per_run: int = 60, seed: int = 0,
         # every split sees both classes, with per-cycle fractions drawn
         # around the run's quality level
         run_is_bad = ri % 3 == 1
-        frac = (rng.uniform(0.55, 0.85) if run_is_bad
-                else rng.uniform(0.05, bad_fraction))
-        labels = (rng.random(n) > frac).astype(np.int64)
+        if label_process == "markov":
+            # stationary defect rate from the run's quality level
+            p_stat = (rng.uniform(0.55, 0.80) if run_is_bad
+                      else rng.uniform(0.10, 0.25))
+            stay_bad = markov_persistence
+            # P(good→bad) chosen so the chain's stationary bad rate is
+            # p_stat: π_bad = g2b / (g2b + 1 − stay_bad)
+            g2b = min(0.95, (1.0 - stay_bad) * p_stat / (1.0 - p_stat))
+            u = rng.random(n)
+            state_bad = rng.random() < p_stat
+            labels = np.empty(n, np.int64)
+            for t in range(n):
+                labels[t] = 0 if state_bad else 1
+                state_bad = u[t] < (stay_bad if state_bad else g2b)
+        else:
+            # min() keeps the interval valid for bad_fraction < 0.05
+            # (numpy's uniform silently samples an inverted interval);
+            # the default 0.3 draws are unchanged
+            frac = (rng.uniform(0.55, 0.85) if run_is_bad
+                    else rng.uniform(min(0.05, bad_fraction), bad_fraction))
+            labels = (rng.random(n) > frac).astype(np.int64)
+        true_labels = labels.copy()
         unl = rng.random(n) < unlabeled_fraction
         labels[unl] = -1
-        lab_for_signal = np.where(labels == -1,
-                                  rng.integers(0, 2, n), labels)
-        v, i = synthetic_cycles(rng, n, lab_for_signal)
+        if label_process == "markov":
+            # -1 masks the LABEL, not the physics: mid-burst unlabeled
+            # cycles keep their true state so bursts stay coherent
+            lab_for_signal = true_labels
+            rng.integers(0, 2, n)  # keep the draw count stable
+        else:
+            lab_for_signal = np.where(labels == -1,
+                                      rng.integers(0, 2, n), labels)
+        v, i = synthetic_cycles(rng, n, lab_for_signal,
+                                signature_strength=signature_strength)
         all_v.append(v); all_i.append(i); all_l.append(labels)
         all_e.append(np.full(n, exp)); all_r.append(np.full(n, run))
     v = np.concatenate(all_v); i = np.concatenate(all_i)

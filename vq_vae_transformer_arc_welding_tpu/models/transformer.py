@@ -480,6 +480,11 @@ class TransformerDecoder(Module):
             raise ValueError("param_dtype requires decode_impl='xla'")
         if cache_buckets is not None and decode_impl != "xla":
             raise ValueError("cache_buckets requires decode_impl='xla'")
+        if cache_dtype is not None and decode_impl != "xla":
+            # fused_block_decode DMAs the HBM cache into f32 VMEM
+            # scratch; a bf16 cache would die with a cryptic Mosaic
+            # dtype error instead of this message
+            raise ValueError("cache_dtype requires decode_impl='xla'")
         if rng is None:
             rng = jax.random.PRNGKey(0)
         steps = self.seq_len if num_steps is None else num_steps

@@ -29,11 +29,11 @@ def conv1d_same(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.n
     """
     k = kernel.shape[-1]
     pad = (k - 1) // 2
-    # low-precision inputs (bf16 training mode) keep the conv's in/out
-    # dtypes equal — lax.conv's GRADIENT rule requires matching dtypes,
-    # unlike dot_general — then upcast; the bias add stays f32 either
-    # way. The MXU accumulates f32 internally regardless.
-    out_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    # the conv's in/out dtypes must match — lax.conv's GRADIENT rule
+    # requires it, unlike dot_general — so bf16 inputs (bf16 training
+    # mode) produce a bf16 conv upcast afterwards; the bias add stays
+    # f32 either way. The MXU accumulates f32 internally regardless.
+    out_dtype = x.dtype
     y = lax.conv_general_dilated(
         x, jnp.transpose(kernel, (2, 1, 0)).astype(x.dtype),  # (k, I, O)
         window_strides=(1,), padding=[(pad, pad)],

@@ -264,6 +264,10 @@ class WeldingQualityPipeline:
         recalibrate on recent windows or serve precision='f32'."""
         if self.qparams is None:
             raise RuntimeError("saturation_rate requires calibrate() first")
+        if len(windows) == 0:
+            # the fixed-shape padding below repeats x[-1:]; an empty
+            # array would fail deep inside the jitted probe instead
+            raise ValueError("saturation_rate: windows is empty")
         x = np.asarray(windows, np.float32)[: self.max_batch]
         pad = self.max_batch - len(x)
         if pad > 0:  # same single-graph contract as _batched
@@ -298,6 +302,8 @@ class WeldingQualityPipeline:
         """windows: (N, n_cycles*200, 2) scaled cycles. Returns
         (labels (N,), probs (N, 2))."""
         windows = np.asarray(windows, np.float32)
+        if windows.shape[0] == 0:
+            raise ValueError("classify: windows is empty")
         if (self.monitor_saturation and self.precision == "int8"
                 and self.qparams is not None):
             self._check_saturation(windows)
@@ -306,7 +312,10 @@ class WeldingQualityPipeline:
 
     def encode_tokens(self, windows: np.ndarray) -> np.ndarray:
         """(N, n_cycles*200, 2) -> (N, n_cycles*16) codebook ids."""
-        return self._batched(self._encode, np.asarray(windows, np.float32))
+        windows = np.asarray(windows, np.float32)
+        if windows.shape[0] == 0:
+            raise ValueError("encode_tokens: windows is empty")
+        return self._batched(self._encode, windows)
 
     def ood_score(self, cycles: np.ndarray) -> np.ndarray:
         """(N, 200, 2) single cycles -> per-sample quantization-error
