@@ -47,10 +47,15 @@ def _chunked_device_map(fn, x: np.ndarray, chunk: int = _ENCODE_CHUNK):
         if pad > 0:
             block = np.concatenate([block, np.zeros((pad,) + block.shape[1:],
                                                     block.dtype)])
-            outs.append(np.asarray(fn(jnp.asarray(block)))[:chunk - pad])
-        else:
-            outs.append(np.asarray(fn(jnp.asarray(block))))
-    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+        out = fn(jnp.asarray(block))
+        # fn may return a pytree of batch-leading arrays (e.g. the
+        # serving classify path's (probs, saturation) pair) — crop the
+        # padding from every leaf
+        outs.append(jax.tree_util.tree_map(
+            lambda y: np.asarray(y)[:chunk - pad], out))
+    if len(outs) == 1:
+        return outs[0]
+    return jax.tree_util.tree_map(lambda *ys: np.concatenate(ys), *outs)
 
 
 class LatentPredDataModule:

@@ -156,7 +156,8 @@ def calibrate_activation_absmax(model, params, sample_ids,
     return am
 
 
-def quantized_backbone(model, qparams, x_ids, sat_stats: dict | None = None):
+def quantized_backbone(model, qparams, x_ids, sat_stats: dict | None = None,
+                       sat_rows: list | None = None):
     from ..ops.activations import new_gelu
     from ..ops.attention import causal_attention_core, merge_heads, split_heads
     from ..ops.norm import layer_norm
@@ -169,9 +170,11 @@ def quantized_backbone(model, qparams, x_ids, sat_stats: dict | None = None):
         # fraction of activations the calibrated scale CLIPS (round(x*s)
         # outside ±127); a distribution shift beyond calibration×margin
         # shows up here before it silently degrades labels
-        if sat_stats is not None and q.act_scale is not None:
-            sat_stats[site] = jnp.mean(
-                (jnp.abs(a) * q.act_scale) > 127.5)
+        if q.act_scale is not None:
+            if sat_stats is not None:
+                sat_stats[site] = jnp.mean((jnp.abs(a) * q.act_scale) > 127.5)
+            if sat_rows is not None:
+                sat_rows.append(_row_clip_frac(a, q.act_scale))
         return a
 
     t = x_ids.shape[1]
@@ -270,8 +273,31 @@ def quantized_backbone_fused(model, qparams, x_ids, *, fused_mlp=False,
     return layer_norm(x, qparams["ln_f_scale"], qparams["ln_f_bias"])
 
 
+def _row_clip_frac_prequant(h8: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, C) int8 activations -> per-row clipped fraction (B,).
+
+    Clipped activations sit at the clamp rail ±127, so the counter is a
+    pure observation of an already-computed tensor (zero extra compute
+    passes). Values whose pre-clip |x|·s lands in (126.5, 127.5] round
+    to 127 legitimately, so this over-counts saturation_stats' >127.5
+    criterion by at most that boundary bin — and is exactly 0 on the
+    calibration distribution (the ×1.25 headroom margin caps
+    calibration activations at |x|·s ≈ 102)."""
+    return jnp.mean((jnp.abs(h8.astype(jnp.int32)) >= 127)
+                    .astype(jnp.float32), axis=tuple(range(1, h8.ndim)))
+
+
+def _row_clip_frac(a: jnp.ndarray, act_scale) -> jnp.ndarray:
+    """Per-row clipped fraction of f32 activations about to be
+    quantized with act_scale — same >127.5 criterion as
+    saturation_stats; the compare+mean fuses into the producer."""
+    return jnp.mean((jnp.abs(a) * act_scale > 127.5).astype(jnp.float32),
+                    axis=tuple(range(1, a.ndim)))
+
+
 def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
-                             int8_attn=False, stream_dtype=None):
+                             int8_attn=False, stream_dtype=None,
+                             sat_rows: list | None = None):
     """Backbone with whole-block Pallas fusion
     (ops/pallas_block_quant.py): per block the residual stream crosses
     HBM once (x-in / x-out for full_block=True; plus the int8 fc input
@@ -280,12 +306,27 @@ def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
     operands) bit-match quantized_backbone in interpret mode; f32
     logits agree to ~1e-3 with identical labels (the in-kernel
     attention normalizes after the PV matmul — see
-    ops/pallas_block_quant.py module docstring)."""
+    ops/pallas_block_quant.py module docstring).
+
+    sat_rows (attn-half variants only): a list that collects per-row
+    clipped-activation fractions (B,) from the sites visible OUTSIDE
+    the Pallas kernel — the kernel's pre-quantized int8 fc input (free:
+    rail-count on an existing tensor) and the f32 m_proj input (the
+    compare fuses into the gelu producer). This is the in-path serving
+    drift monitor (serve.WeldingQualityPipeline.monitor_saturation);
+    the attention-internal sites are covered by the opt-in
+    saturation_stats probe."""
     from ..ops.activations import new_gelu
     from ..ops.norm import layer_norm
     from ..ops.pallas_block_quant import (fused_attn_block_quant,
                                           fused_block_quant)
 
+    if sat_rows is not None and full_block:
+        raise ValueError(
+            "in-path saturation monitoring needs the attn-half block "
+            "fusion (the full-block kernel exposes no quantization "
+            "sites); use block_fusion='attn' or the saturation_stats "
+            "probe")
     t = x_ids.shape[1]
     x = jnp.take(qparams["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
     if stream_dtype is not None:
@@ -300,7 +341,13 @@ def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
             x_mid, h8 = fused_attn_block_quant(x, blk, n_head=model.n_head,
                                                int8_attn=int8_attn)
             mid = qdot_prequantized(h8, blk["c_fc"])
-            x = x_mid + qdot(new_gelu(mid), blk["m_proj"])
+            g = new_gelu(mid)
+            if sat_rows is not None:
+                sat_rows.append(_row_clip_frac_prequant(h8))
+                if blk["m_proj"].act_scale is not None:
+                    sat_rows.append(
+                        _row_clip_frac(g, blk["m_proj"].act_scale))
+            x = x_mid + qdot(g, blk["m_proj"])
             if stream_dtype is not None:
                 x = x.astype(stream_dtype)
     x = x.astype(jnp.float32)
@@ -308,12 +355,19 @@ def quantized_backbone_block(model, qparams, x_ids, *, full_block=False,
 
 
 def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
-                       block_fusion: str | None = None, **fused_kw):
+                       block_fusion: str | None = None,
+                       sat_rows: list | None = None, **fused_kw):
     """block_fusion: None | 'attn' | 'full' | 'attn8' | 'full8' —
     whole-block Pallas fusion (quantized_backbone_block); the '8'
     variants also run score/probs@V matmuls on the int8 MXU. A '-bf16'
     suffix (e.g. 'attn-bf16') carries the residual stream between
-    kernels in bfloat16. Overrides fused_attention."""
+    kernels in bfloat16. Overrides fused_attention.
+
+    sat_rows: pass a list to collect per-row clipped-activation
+    fractions (B,) from the sites visible in-path (see
+    quantized_backbone_block) plus the class head — the ~zero-cost
+    serving drift monitor. Supported on the unfused and 'attn'-fusion
+    paths (the adopted serving path)."""
     from ..ops.activations import gelu
     if block_fusion is not None:
         if fused_attention or fused_kw:
@@ -327,16 +381,25 @@ def quantized_classify(model, qparams, x_ids, *, fused_attention=False,
             model, qparams, x_ids,
             full_block=bf.startswith("full"),
             int8_attn=bf.endswith("8"),
-            stream_dtype=stream_dtype)
+            stream_dtype=stream_dtype, sat_rows=sat_rows)
     elif fused_attention:
+        if sat_rows is not None:
+            raise ValueError(
+                "in-path saturation monitoring is wired for the unfused "
+                "and block_fusion='attn' paths; use saturation_stats")
         x = quantized_backbone_fused(model, qparams, x_ids, **fused_kw)
     else:
         if fused_kw:
             raise ValueError("fused_* options need fused_attention=True")
-        x = quantized_backbone(model, qparams, x_ids)
-    h = qdot(x, qparams["class_head"]["l1"])
+        x = quantized_backbone(model, qparams, x_ids, sat_rows=sat_rows)
+    ch = qparams["class_head"]
+    if sat_rows is not None and ch["l1"].act_scale is not None:
+        sat_rows.append(_row_clip_frac(x, ch["l1"].act_scale))
+    h = qdot(x, ch["l1"])
     h = gelu(h.squeeze(-1))
-    return qdot(h, qparams["class_head"]["l2"])
+    if sat_rows is not None and ch["l2"].act_scale is not None:
+        sat_rows.append(_row_clip_frac(h, ch["l2"].act_scale))
+    return qdot(h, ch["l2"])
 
 
 def quantized_lm_logits(model, qparams, x_ids):

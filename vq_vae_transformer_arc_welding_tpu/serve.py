@@ -38,7 +38,7 @@ class WeldingQualityPipeline:
                  start_token: int | None = None, mesh=None,
                  encoder_precision: str = "f32",
                  encoder_impl: str = "xla",
-                 monitor_saturation: bool = False):
+                 monitor_saturation: bool = True):
         """precision: 'f32' (exact), 'bf16' (half-traffic activations),
         or 'int8' (calibrated MXU int8 with whole-block Pallas fusion —
         call calibrate() with sample windows before classify; ~2x the
@@ -86,11 +86,14 @@ class WeldingQualityPipeline:
         self.qenc = None
         self.n_cycles = n_cycles
         self.max_batch = max_batch
-        # monitor_saturation=True: every int8 classify() call also runs
-        # the saturation probe on its first chunk (one extra unfused
-        # int8 forward) and warns past saturation_threshold — the guard
-        # against silent calibration drift (scales clip beyond
-        # calibration×1.25; models/quantized.saturation_stats)
+        # monitor_saturation (DEFAULT ON): int8 classify() folds a
+        # per-row clipped-activation counter into the already-computed
+        # forward (rail-counts on the kernel's int8 fc input + fused
+        # compares on the f32 sites — models/quantized.py sat_rows;
+        # zero extra compute passes) and warns past
+        # saturation_threshold — the guard against silent calibration
+        # drift. The detailed per-site probe stays opt-in
+        # (saturation_rate()).
         self.monitor_saturation = monitor_saturation
         self.last_saturation_rate: float | None = None
         self.needs_recalibration = False
@@ -236,8 +239,15 @@ class WeldingQualityPipeline:
             from .models.quantized import quantized_classify
             # calibrated scales enable whole-block Pallas fusion
             # (ops/pallas_block_quant.py) — the bench-winning path
+            sat_rows = [] if self.monitor_saturation else None
             logits = quantized_classify(self.tr_model, self.qparams, ids,
-                                        block_fusion="attn")
+                                        block_fusion="attn",
+                                        sat_rows=sat_rows)
+            if sat_rows is not None and sat_rows:
+                # per-row mean over the monitored sites; padded rows are
+                # cropped by the chunking layer like the probs
+                return (jax.nn.softmax(logits, axis=-1),
+                        jnp.mean(jnp.stack(sat_rows), axis=0))
         else:
             logits, _ = self.tr_model.apply(self.tr_params, None, ids,
                                             generate=False)
@@ -276,9 +286,8 @@ class WeldingQualityPipeline:
         overall, per_site = self._sat_probe(jnp.asarray(x))
         return float(overall), {k: float(v) for k, v in per_site.items()}
 
-    def _check_saturation(self, x):
+    def _note_saturation(self, rate: float):
         import warnings
-        rate, _ = self.saturation_rate(x)
         self.last_saturation_rate = rate
         if rate > self.saturation_threshold:
             self.needs_recalibration = True
@@ -300,14 +309,20 @@ class WeldingQualityPipeline:
 
     def classify(self, windows: np.ndarray):
         """windows: (N, n_cycles*200, 2) scaled cycles. Returns
-        (labels (N,), probs (N, 2))."""
+        (labels (N,), probs (N, 2)).
+
+        int8 pipelines also update `last_saturation_rate` from the
+        in-path clipped-activation counter (free — see
+        monitor_saturation) and warn past `saturation_threshold`."""
         windows = np.asarray(windows, np.float32)
         if windows.shape[0] == 0:
             raise ValueError("classify: windows is empty")
-        if (self.monitor_saturation and self.precision == "int8"
-                and self.qparams is not None):
-            self._check_saturation(windows)
-        probs = self._batched(self._classify, windows)
+        out = self._batched(self._classify, windows)
+        if isinstance(out, tuple):
+            probs, sat = out
+            self._note_saturation(float(np.mean(sat)))
+        else:
+            probs = out
         return probs.argmax(-1), probs
 
     def encode_tokens(self, windows: np.ndarray) -> np.ndarray:
