@@ -8,7 +8,10 @@ conv/matmul grads, BatchNorm train-mode stats, the VQ
 straight-through estimator and commitment loss, the transformer's
 dual-head losses — not just forwards.
 """
+import os
+
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -309,18 +312,16 @@ def test_transformer_radam_trajectory_matches_torch(rng):
     assert max_d < 5e-5, f"trajectory diverged: max loss diff {max_d}"
 
 
-def test_transformer_trajectory_reference_scale(rng):
-    """Short-trajectory bit-parity at the EXACT reference transformer
-    config (d512, 8 blocks, 8 heads, seq_len 321 — reference
+def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
+                                gen_prefix=3):
+    """Shared driver for the reference-scale bit-parity trajectory:
+    d512, 8 blocks, 8 heads, seq_len 321 (reference
     train_transformer_mtasks.py:213-236 with the BASELINE.json 8-block
-    config): 6 RAdam+decay-split+clip+accumulate steps, 3 per task,
-    from identical weights on identical batches.
-
-    The full torch-side TRAINING at this scale is infeasible on this
-    1-CPU host (134 s/step measured — QUALITY.md); this test is the
-    cross-stack anchor showing the training math is equivalent at
-    reference scale, complementing scripts/quality_ref_scale.py's
-    JAX-only trained result."""
+    config), RAdam + decay-split + clip + accumulate on identical
+    weights and batches in both stacks. Returns max |loss_t - loss_j|
+    over the trajectory. The first `gen_prefix` micro-steps train the
+    generation head, the rest the classification head (the reference's
+    alternating multitask schedule in miniature)."""
     import sys
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
@@ -335,7 +336,7 @@ def test_transformer_trajectory_reference_scale(rng):
     params, _ = ti.transformer_params_from_state_dict(twin.state_dict(),
                                                       n_blocks=NB)
 
-    N, bs, accum = 8, 2, 2
+    N = max(8, bs * 4)
     ids = rng.integers(0, 256, (N, T - 1))
     x = np.concatenate([np.full((N, 1), 256), ids], 1).astype(np.int64)
     y = np.concatenate([ids, np.full((N, 1), 257)], 1).astype(np.int64)
@@ -377,9 +378,10 @@ def test_transformer_trajectory_reference_scale(rng):
     opt.zero_grad()
     g_acc, cnt = None, 0
     max_d = 0.0
-    for b in range(6):
-        gen = b < 3
-        sl = order[(b % 4) * bs:((b % 4) + 1) * bs]
+    n_batches = N // bs
+    for b in range(micro_steps):
+        gen = b < gen_prefix
+        sl = order[(b % n_batches) * bs:((b % n_batches) + 1) * bs]
         xb = torch.from_numpy(x[sl])
         if gen:
             logits = twin(xb, generate=True)
@@ -406,5 +408,41 @@ def test_transformer_trajectory_reference_scale(rng):
             updates, opt_state = tx.update(gm, opt_state, params)
             params = optax.apply_updates(params, updates)
             g_acc, cnt = None, 0
+    return max_d
+
+
+def test_transformer_trajectory_reference_scale(rng):
+    """Short-trajectory bit-parity at the EXACT reference transformer
+    config: 6 RAdam+decay-split+clip+accumulate micro-steps, 3 per
+    task, from identical weights on identical batches.
+
+    The full torch-side TRAINING at this scale is infeasible on this
+    1-CPU host (134 s/step measured — QUALITY.md); this test is the
+    cross-stack anchor showing the training math is equivalent at
+    reference scale, complementing scripts/quality_ref_scale.py's
+    JAX-only trained result. The LONG variant below extends this to
+    50 optimizer steps at the reference accumulate count."""
+    max_d = _reference_scale_trajectory(rng, micro_steps=6, bs=2, accum=2)
     assert max_d < 2e-4, \
         f"reference-scale trajectory diverged: max loss diff {max_d}"
+
+
+@pytest.mark.skipif(not os.environ.get("REF_SCALE_PARITY_STEPS"),
+                    reason="~1 h on this 1-CPU host; opt-in via "
+                           "REF_SCALE_PARITY_STEPS=50 (run once per "
+                           "round, result recorded in QUALITY.md)")
+def test_transformer_trajectory_reference_scale_long(rng):
+    """≥50 full RAdam+clip+accumulate optimizer steps at reference
+    scale (d512/8 blocks/seq 321) with the reference accumulate count
+    (5 — train_transformer_mtasks.py:99-197): the round-2 VERDICT's
+    requested extension of the 6-step anchor. Loss-trajectory drift
+    between the stacks stays in the accumulated-ulp regime (<2e-3
+    after 250 micro-steps; the 6-step bound 2e-4 grows with sqrt-ish
+    step count as independent rounding errors accumulate)."""
+    n_opt = int(os.environ["REF_SCALE_PARITY_STEPS"])
+    max_d = _reference_scale_trajectory(
+        rng, micro_steps=5 * n_opt, bs=4, accum=5, gen_prefix=5 * n_opt // 2)
+    print(f"\nREF_SCALE_PARITY long trajectory: {n_opt} optimizer steps "
+          f"(x5 accumulate, bs 4), max loss drift {max_d:.3e}")
+    assert max_d < 2e-3, \
+        f"long reference-scale trajectory diverged: max loss diff {max_d}"
