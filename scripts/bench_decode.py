@@ -58,7 +58,8 @@ def main():
 
     known = {"xla", "fused", "xla-bf16c", "xla-bf16w", "xla-bf16cw",
              "xla-seg", "xla-bf16c-seg", "xla-seg64", "xla-bf16c-seg64",
-             "xla-bf16c-seg32", "xla-bf16cw-seg64"}
+             "xla-bf16c-seg32", "xla-bf16cw-seg64",
+             "xla-u2", "xla-u4", "xla-bf16c-seg64-u2"}
     unknown = set(args.impls) - known
     if unknown:  # a typo would silently bench the plain XLA path
         sys.exit(f"unknown impls {sorted(unknown)}; known: {sorted(known)}")
@@ -90,6 +91,13 @@ def main():
         elif impl == "xla-bf16cw-seg64":
             kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16,
                   "param_dtype": jnp.bfloat16, "cache_buckets": 64}
+        elif impl == "xla-u2":  # scan-unrolled (multi-token stepping)
+            kw = {"decode_impl": "xla", "scan_unroll": 2}
+        elif impl == "xla-u4":
+            kw = {"decode_impl": "xla", "scan_unroll": 4}
+        elif impl == "xla-bf16c-seg64-u2":  # fast recipe + unroll
+            kw = {"decode_impl": "xla", "cache_dtype": jnp.bfloat16,
+                  "cache_buckets": 64, "scan_unroll": 2}
         fn = jax.jit(lambda p, s, kw=kw: m.generate_kv(
             p, s, do_sample=True, top_k=5, rng=jax.random.PRNGKey(7),
             num_steps=args.steps, **kw))

@@ -138,6 +138,31 @@ def test_generate_kv_matches_generate(rng):
                                  rng=k)))
 
 
+def test_generate_kv_scan_unroll_bit_identical(rng):
+    """scan_unroll replicates the scan body for XLA pipelining
+    (multi-token stepping); the math is untouched, so sampled ids must
+    be bit-identical at every factor, with and without cache_buckets
+    segmentation, including non-dividing segment lengths."""
+    import jax.numpy as jnp
+    m = TransformerDecoder(d_model=16, n_classes=10, seq_len=33, n_blocks=2,
+                           n_head=2)
+    params, _ = m.init(0)
+    start = jnp.full((3, 1), 8, jnp.int32)
+    k = jax.random.PRNGKey(7)
+    base = np.asarray(m.generate_kv(params, start, do_sample=True, top_k=3,
+                                    rng=k, num_steps=20))
+    for kw in ({"scan_unroll": 2}, {"scan_unroll": 4},
+               {"scan_unroll": 2, "cache_buckets": 8}):
+        got = m.generate_kv(params, start, do_sample=True, top_k=3, rng=k,
+                            num_steps=20, **kw)
+        ref = (base if "cache_buckets" not in kw else
+               m.generate_kv(params, start, do_sample=True, top_k=3, rng=k,
+                             num_steps=20, cache_buckets=8))
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got), kw)
+    with pytest.raises(ValueError, match="scan_unroll"):
+        m.generate_kv(params, start, decode_impl="fused", scan_unroll=2)
+
+
 def test_generate_kv_long_prompt_and_cropping(rng):
     """generate_kv must match generate when (a) the prompt has t0 > 1
     tokens (batched prefill), (b) generation overruns seq_len so the

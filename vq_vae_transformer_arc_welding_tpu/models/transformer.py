@@ -427,7 +427,8 @@ class TransformerDecoder(Module):
                     top_k: int | None = None, rng=None,
                     num_steps: int | None = None,
                     decode_impl: str = "xla", cache_dtype=None,
-                    param_dtype=None, cache_buckets: int | None = None):
+                    param_dtype=None, cache_buckets: int | None = None,
+                    scan_unroll: int = 1):
         """KV-cached autoregressive sampling; same output contract as
         `generate` for any prompt length and step count.
 
@@ -475,9 +476,17 @@ class TransformerDecoder(Module):
         ids near probability ties can flip (~0.1% measured at the
         bench scale — BENCHMARKS.md round 5). None = one scan over
         the full cache. XLA impl only.
+
+        scan_unroll: unroll factor for the decode lax.scan (the
+        scan-body equivalent of multi-token stepping: XLA sees
+        `scan_unroll` sequential token steps in one loop body and can
+        pipeline/fuse across them). Identical math and ids — the body
+        is replicated, not reordered. XLA impl only.
         """
         if param_dtype is not None and decode_impl != "xla":
             raise ValueError("param_dtype requires decode_impl='xla'")
+        if scan_unroll != 1 and decode_impl != "xla":
+            raise ValueError("scan_unroll requires decode_impl='xla'")
         if cache_buckets is not None and decode_impl != "xla":
             raise ValueError("cache_buckets requires decode_impl='xla'")
         if cache_dtype is not None and decode_impl != "xla":
@@ -579,11 +588,11 @@ class TransformerDecoder(Module):
             if hi <= done:
                 continue
             carry, _ = jax.lax.scan(make_step(bound), carry,
-                                    keys[done:hi])
+                                    keys[done:hi], unroll=scan_unroll)
             done = hi
         if done < n_kv:  # final segment: full cache (None = no slice)
             carry, _ = jax.lax.scan(make_step(None), carry,
-                                    keys[done:n_kv])
+                                    keys[done:n_kv], unroll=scan_unroll)
         buf = carry[0]
         if steps > n_kv:  # context-cropping tail, reference semantics
             buf = self._recompute_scan(params, buf, t0 + n_kv, keys[n_kv:],
