@@ -672,6 +672,15 @@ if __name__ == "__main__":
                          "constant-predictor attractor (Study C). Use a "
                          "fresh --out-dir per regime: the CSV is cached "
                          "inside it")
+    ap.add_argument("--full-width-short", action="store_true",
+                    help="transformer leg at the FULL reference width "
+                         "(d512/8 blocks/8 heads/n_cycles 20 -> seq 321, "
+                         "bs 16, accumulate 5) on a SHORTENED schedule "
+                         "(1 x (2 gen + 1 class) + 1 finetune) — the "
+                         "feasible both-stacks leg at the reference "
+                         "operating point (~134 s/step for the torch "
+                         "twin on this host; the full schedule is ~2000 "
+                         "CPU-hours). Combine with --legs transformer")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny configs, flow check only")
     # default writes NEXT TO the study output: the committed QUALITY.md
@@ -689,6 +698,10 @@ if __name__ == "__main__":
                                 "QUALITY_generated.md")
     if a.smoke:
         _shrink_for_smoke()
+    if a.full_width_short:
+        TR.update(n_cycles=20, d_model=512, blocks=8, heads=8,
+                  epoch_iter=1, gen_epochs=2, class_epochs=1,
+                  finetune_epochs=1)
     if a.data_regime == "markov":
         DATA.update(label_process="markov", signature_strength=0.5)
     results = run_study(a.out_dir, a.seeds, legs=tuple(a.legs))
