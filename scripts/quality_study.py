@@ -488,6 +488,25 @@ def write_quality_md(results, path, ref_scale=None):
         rows.append(f"| {label} | `{metric}` | {tm:.4f} ± {ts:.4f} | "
                     f"{jm:.4f} ± {js:.4f} | {delta:+.4f} | {ns} | {ok} |")
 
+    # per-seed classifier outcome pairs: the attractor structure (which
+    # discrete training outcome each stack drew per seed) is the story
+    # the means hide — expose it for every f1 row
+    cls_note_lines = []
+    for label, comp, metric, kind in specs:
+        if kind != "f1" or comp == "transformer":
+            continue
+        pairs = [(results[s][comp]["jax"].get(metric),
+                  results[s][comp]["torch"].get(metric))
+                 for s in seeds if comp in results[s]]
+        pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+        if pairs:
+            cls_note_lines.append(
+                f"- {label} `{metric}` per-seed (jax, torch): "
+                f"{[(round(a, 4), round(b, 4)) for a, b in pairs]}")
+    cls_note = ("\n**Per-seed classifier outcomes** (attractor draws "
+                "visible):\n" + "\n".join(cls_note_lines) + "\n"
+                if cls_note_lines else "")
+
     tf1 = [(results[s]["transformer"]["jax"]["test/cl/f1_score"],
             results[s]["transformer"]["torch"]["test/cl/f1_score"])
            for s in seeds if "transformer" in results[s]]
@@ -588,7 +607,7 @@ reference-scale training below, which runs on the TPU.
 **Contract**: classification F1 within 0.5 pts of the reference
 (`BASELINE.md`). Overall: **{"PASS" if ok_overall else "FAIL"}**
 (F1 deltas compared against 0.005 + cross-side seed noise).
-{tr_note}{ref_md}
+{cls_note}{tr_note}{ref_md}
 
 ## Checkpoint round-trip (both ways, bit-equal index contract)
 
