@@ -445,20 +445,25 @@ def run_study(out_dir, seeds, legs=ALL_LEGS):
 def write_quality_md(results, path, ref_scale=None):
     seeds = sorted(results)
 
-    def agg(component, side, metric):
-        # tolerate heterogeneous seeds (legs can be run selectively and
-        # merged: e.g. classifiers at 5 seeds, transformer at 3)
-        vals = [results[s][component][side][metric] for s in seeds
+    def _paired_seeds(component, metric):
+        # aggregate only seeds where BOTH sides ran (legs can be run
+        # selectively and merged — e.g. a jax-only VQ leg supplies the
+        # checkpoint for a classifier-only run; unpaired rows would
+        # skew the side means differently)
+        return [s for s in seeds
                 if component in results[s]
-                and metric in results[s][component].get(side, {})]
+                and metric in results[s][component].get("jax", {})
+                and metric in results[s][component].get("torch", {})]
+
+    def agg(component, side, metric):
+        vals = [results[s][component][side][metric]
+                for s in _paired_seeds(component, metric)]
         if not vals:
             return float("nan"), float("nan")
         return float(np.mean(vals)), float(np.std(vals))
 
-    def n_seeds(component, side, metric):
-        return sum(component in results[s]
-                   and metric in results[s][component].get(side, {})
-                   for s in seeds)
+    def n_seeds(component, metric):
+        return len(_paired_seeds(component, metric))
 
     rows = []
     specs = [
@@ -477,7 +482,7 @@ def write_quality_md(results, path, ref_scale=None):
     for label, comp, metric, kind in specs:
         jm, js = agg(comp, "jax", metric)
         tm, ts = agg(comp, "torch", metric)
-        ns = min(n_seeds(comp, "jax", metric), n_seeds(comp, "torch", metric))
+        ns = n_seeds(comp, metric)
         delta = jm - tm
         if kind == "f1":
             passed = abs(delta) <= 0.005 + js + ts  # 0.5 F1 pts + seed noise
