@@ -177,3 +177,40 @@ def test_synthetic_labels_have_signal():
     good = vi[labels == 1].std(axis=(0, 1))
     bad = vi[labels == 0].std(axis=(0, 1))
     assert (bad > good).all()  # bad welds noisier by construction
+
+
+def test_synthetic_markov_regime():
+    """The 'markov' label process (Study C): defects arrive in bursts
+    whose persistence makes the next-cycle label predictable from the
+    window (the learnable target the iid regime lacks at high model
+    capacity — QUALITY.md), unlabeled cycles mask the LABEL but keep
+    the true-state physics, and the signature_strength knob scales the
+    bad-cycle signatures without touching good cycles."""
+    import numpy as np
+    vi, labels, exp, run = make_synthetic_arrays(
+        n_cycles_per_run=150, seed=0, extra_train_runs=8,
+        label_process="markov", signature_strength=0.5)
+    runs = exp.astype(np.int64) * 1000 + run.astype(np.int64)
+    lab = labels.copy()
+    # persistence of the labeled chain (ignore masked cycles)
+    same = [lab[i + 1] == lab[i] for i in range(len(lab) - 1)
+            if runs[i + 1] == runs[i] and lab[i] >= 0 and lab[i + 1] >= 0]
+    p = float(np.mean(same))
+    assert 0.82 < p < 0.95, p  # ~markov_persistence (0.85 default)
+    # both classes present, minority sized by the run mix
+    frac_bad = float((labels == 0).mean())
+    assert 0.15 < frac_bad < 0.5, frac_bad
+    assert 0.05 < float((labels == -1).mean()) < 0.2  # unlabeled kept
+    # subtler signatures still separable per-cycle (std ordering holds)
+    good = vi[labels == 1].std(axis=(0, 1))
+    bad = vi[labels == 0].std(axis=(0, 1))
+    assert (bad > good).all()
+    # strength=1.0 markov vs strength=0.5: louder bad-cycle signatures,
+    # identical label stream (labels draw before the waveforms)
+    vi2, labels2, _, _ = make_synthetic_arrays(
+        n_cycles_per_run=150, seed=0, extra_train_runs=8,
+        label_process="markov", signature_strength=1.0)
+    np.testing.assert_array_equal(labels, labels2)
+    assert vi2[labels2 == 0].std() > vi[labels == 0].std()
+    g1, g2 = vi[labels == 1], vi2[labels2 == 1]
+    np.testing.assert_allclose(g1.std(), g2.std(), rtol=0.05)
