@@ -311,6 +311,36 @@ def test_pipeline_mesh_data_parallel(tmp_path, rng):
     l8s, p8s = sharded.classify(x)
     np.testing.assert_array_equal(l8b, l8s)
     np.testing.assert_allclose(p8b, p8s, rtol=1e-6, atol=1e-7)
+    # default-on saturation monitor rides shard_map's tuple output
+    assert sharded.last_saturation_rate is not None
+    assert sharded.last_saturation_rate == base.last_saturation_rate
+
+
+def test_pipeline_mesh_int8_indivisible_batch(tmp_path, rng):
+    """max_batch NOT divisible by the mesh 'data' axis: the shard_map
+    wrapper pads rows and must crop them PER LEAF of the (probs,
+    saturation) tuple — regression for the tuple-slicing out[:n] bug."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.mesh import (
+        make_mesh, put_replicated)
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    base = _tiny_pipeline(tmp_path, max_batch=6)     # 6 % 4 != 0
+    sharded = _tiny_pipeline(tmp_path, max_batch=6)
+    sharded.mesh = mesh
+    (sharded.vq_params, sharded.vq_state, sharded.tr_params) = put_replicated(
+        (sharded.vq_params, sharded.vq_state, sharded.tr_params), mesh)
+    sharded._rejit()
+
+    x = rng.standard_normal((9, 2 * 200, 2)).astype(np.float32)
+    for p in (base, sharded):
+        p.precision = "int8"
+        p.calibrate(x[:4])
+    lb, pb = base.classify(x)
+    ls, ps = sharded.classify(x)
+    assert ps.shape == (9, 2)
+    np.testing.assert_array_equal(lb, ls)
+    np.testing.assert_allclose(pb, ps, rtol=1e-6, atol=1e-7)
+    assert sharded.last_saturation_rate == base.last_saturation_rate
 
 
 def test_serve_int8_encoder_precision(rng):

@@ -143,7 +143,10 @@ class WeldingQualityPipeline:
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
             out = smfn(jax.device_put(x, ds))
-            return out[:n]
+            # fn may return a pytree of batch-leading arrays (the int8
+            # classify path's (probs, saturation) pair) — crop rows per
+            # leaf, never the tuple itself
+            return jax.tree_util.tree_map(lambda y: y[:n], out)
         return call
 
     def calibrate(self, sample_windows: np.ndarray,
