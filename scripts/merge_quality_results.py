@@ -33,7 +33,17 @@ def merge(paths):
             seed = int(seed_str)
             merged.setdefault(seed, {})
             for comp, res in comps.items():
-                merged[seed][comp] = res
+                prev = merged[seed].get(comp)
+                if (isinstance(prev, dict) and isinstance(res, dict)
+                        and set(res) <= {"jax", "torch"}):
+                    # side-aware merge: a --tr-sides split run carries
+                    # one stack's leg with the other side empty — fill
+                    # sides, never clobber a populated one with {}
+                    for side, vals in res.items():
+                        if vals:
+                            prev[side] = vals
+                else:
+                    merged[seed][comp] = res
     return merged
 
 

@@ -293,17 +293,28 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
     return {"jax": jx, "torch": th}
 
 
-def study_transformer(data_dir, seed, vq_ckpt):
-    jx = _jax_leg("transformer", [
-        "--epoch_iter", str(TR["epoch_iter"]),
-        "--batch-size", str(TR["bs"]), "--n-cycles", str(TR["n_cycles"]),
-        "--d-model", str(TR["d_model"]), "--n-heads", str(TR["heads"]),
-        "--n-blocks", str(TR["blocks"]),
-        "--gen-epochs", str(TR["gen_epochs"]),
-        "--class-epoch", str(TR["class_epochs"]),
-        "--finetune-epochs", str(TR["finetune_epochs"]),
-        "--vqvae-model", vq_ckpt,
-        "--data-dir", data_dir, "--seed", str(seed)])
+def study_transformer(data_dir, seed, vq_ckpt, sides=("jax", "torch")):
+    """sides: run only one stack's leg ("jax"/"torch") so the two can be
+    scheduled independently (the torch twin is CPU-bound, the jax leg
+    wants the TPU; the 1-CPU host can't afford to serialize them when
+    the tunnel is down). BOTH sides consume the SAME vq_ckpt — callers
+    splitting across runs must reuse the out_dir so the sentinel-pinned
+    checkpoint pairs the latent datasets; merge halves with
+    scripts/merge_quality_results.py (side-aware)."""
+    jx = {}
+    if "jax" in sides:
+        jx = _jax_leg("transformer", [
+            "--epoch_iter", str(TR["epoch_iter"]),
+            "--batch-size", str(TR["bs"]), "--n-cycles", str(TR["n_cycles"]),
+            "--d-model", str(TR["d_model"]), "--n-heads", str(TR["heads"]),
+            "--n-blocks", str(TR["blocks"]),
+            "--gen-epochs", str(TR["gen_epochs"]),
+            "--class-epoch", str(TR["class_epochs"]),
+            "--finetune-epochs", str(TR["finetune_epochs"]),
+            "--vqvae-model", vq_ckpt,
+            "--data-dir", data_dir, "--seed", str(seed)])
+    if "torch" not in sides:
+        return {"jax": jx, "torch": {}}
 
     torch.manual_seed(seed + 2)
     val_ids, test_ids = _ids()
@@ -353,7 +364,7 @@ def study_transformer(data_dir, seed, vq_ckpt):
 ALL_LEGS = ("vqvae", "mlp_raw", "gru_raw", "mlp_latent", "transformer")
 
 
-def run_study(out_dir, seeds, legs=ALL_LEGS):
+def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch")):
     # the study chdirs into out_dir (the CLI entry points write
     # model_checkpoints/ to cwd) — resolve before that so a relative
     # --out-dir doesn't double up
@@ -387,12 +398,27 @@ def run_study(out_dir, seeds, legs=ALL_LEGS):
     try:
         for seed in seeds:
             res = {}
-            _banner(seed, "VQ-VAE")
-            # the jax VQ leg always runs (its checkpoint feeds the
-            # latent/transformer legs); the torch twin trains only when
-            # the vqvae parity row itself was requested
-            res["vqvae"], jax_ckpt, torch_twin, recon_dm = study_vqvae(
-                data_dir, seed, train_torch="vqvae" in legs)
+            # split transformer sides across runs must pair on the SAME
+            # trained VQ checkpoint (different backends train different
+            # VQs): a sentinel written by the first run pins it
+            sentinel = os.path.join(out_dir, f"vq_ckpt_seed{seed}.txt")
+            jax_ckpt = None
+            if os.path.exists(sentinel):
+                cand = open(sentinel).read().strip()
+                if os.path.exists(cand):
+                    jax_ckpt = cand
+                    print(f"=== seed {seed}: reusing pinned VQ ckpt "
+                          f"{cand} ===", flush=True)
+            torch_twin = recon_dm = None
+            if jax_ckpt is None:
+                _banner(seed, "VQ-VAE")
+                # the jax VQ leg always runs (its checkpoint feeds the
+                # latent/transformer legs); the torch twin trains only
+                # when the vqvae parity row itself was requested
+                res["vqvae"], jax_ckpt, torch_twin, recon_dm = study_vqvae(
+                    data_dir, seed, train_torch="vqvae" in legs)
+                with open(sentinel, "w") as f:
+                    f.write(jax_ckpt)
             if seed == seeds[0] and torch_twin is not None:
                 res["roundtrip"] = roundtrip_checks(
                     jax_ckpt, torch_twin, recon_dm, out_dir)
@@ -430,9 +456,10 @@ def run_study(out_dir, seeds, legs=ALL_LEGS):
                     vq_ckpt=jax_ckpt, jax_twin=jax_twin)
                 _flush_partial(seed, res)
             if "transformer" in legs:
-                _banner(seed, "transformer")
+                _banner(seed, f"transformer (sides: {','.join(tr_sides)})")
                 res["transformer"] = study_transformer(data_dir, seed,
-                                                       jax_ckpt)
+                                                       jax_ckpt,
+                                                       sides=tr_sides)
                 _flush_partial(seed, res)
             all_results[seed] = res
             with open(os.path.join(out_dir, "results.json"), "w") as f:
@@ -514,7 +541,10 @@ def write_quality_md(results, path, ref_scale=None):
 
     tf1 = [(results[s]["transformer"]["jax"]["test/cl/f1_score"],
             results[s]["transformer"]["torch"]["test/cl/f1_score"])
-           for s in seeds if "transformer" in results[s]]
+           for s in seeds if "transformer" in results[s]
+           and "test/cl/f1_score" in results[s]["transformer"].get("jax", {})
+           and "test/cl/f1_score"
+           in results[s]["transformer"].get("torch", {})]
     degen = sum(v == 0.0 for pair in tf1 for v in pair)
     tr_note = (
         f"\n**Transformer class-head outcomes** (per-seed (jax, torch) "
@@ -696,6 +726,13 @@ if __name__ == "__main__":
                          "constant-predictor attractor (Study C). Use a "
                          "fresh --out-dir per regime: the CSV is cached "
                          "inside it")
+    ap.add_argument("--tr-sides", nargs="+", default=["jax", "torch"],
+                    choices=["jax", "torch"],
+                    help="which stacks' transformer legs to run (the "
+                         "torch twin is CPU-bound, the jax leg wants "
+                         "the TPU; split them across runs sharing the "
+                         "same --out-dir — the VQ ckpt sentinel keeps "
+                         "the latent datasets paired)")
     ap.add_argument("--full-width-short", action="store_true",
                     help="transformer leg at the FULL reference width "
                          "(d512/8 blocks/8 heads/n_cycles 20 -> seq 321, "
@@ -728,7 +765,8 @@ if __name__ == "__main__":
                   finetune_epochs=1)
     if a.data_regime == "markov":
         DATA.update(label_process="markov", signature_strength=0.5)
-    results = run_study(a.out_dir, a.seeds, legs=tuple(a.legs))
+    results = run_study(a.out_dir, a.seeds, legs=tuple(a.legs),
+                        tr_sides=tuple(a.tr_sides))
     ref_scale = None
     if a.ref_scale_json and os.path.exists(a.ref_scale_json):
         with open(a.ref_scale_json) as f:
