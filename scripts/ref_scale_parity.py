@@ -1,0 +1,67 @@
+"""Long reference-scale trajectory parity with a recorded drift curve.
+
+Runs tests/test_grad_parity._reference_scale_trajectory (d512/8 blocks/
+seq 321, RAdam + decay split + clip + accumulate-5) for --opt-steps
+optimizer steps and dumps the per-micro-step (torch_loss, jax_loss)
+trace to JSON, so the divergence BOUND for
+test_transformer_trajectory_reference_scale_long can be set from
+measured accumulation behavior instead of guessed (the first 50-step
+run tripped a guessed 2e-3 bound with no trace to diagnose).
+
+Usage: python scripts/ref_scale_parity.py --opt-steps 50 \
+           --out results/ref_scale_parity_50step.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path[:0] = [REPO, os.path.join(REPO, "tests")]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--opt-steps", type=int, default=50)
+    ap.add_argument("--out", default="/tmp/ref_scale_parity.json")
+    a = ap.parse_args()
+
+    import test_grad_parity as tg
+    rng = np.random.default_rng(0)
+    trace: list = []
+    micro = 5 * a.opt_steps
+    max_d = tg._reference_scale_trajectory(
+        rng, micro_steps=micro, bs=4, accum=5, gen_prefix=micro // 2,
+        trace=trace)
+    lt = np.array([t for t, _ in trace])
+    lj = np.array([j for _, j in trace])
+    d = np.abs(lt - lj)
+    rel = d / np.maximum(np.abs(lt), 1e-9)
+    out = {
+        "opt_steps": a.opt_steps, "micro_steps": micro,
+        "max_abs_drift": float(d.max()),
+        "max_rel_drift": float(rel.max()),
+        "final_losses": {"torch": float(lt[-1]), "jax": float(lj[-1])},
+        "drift_by_opt_step": [float(d[i * 5:(i + 1) * 5].max())
+                              for i in range(a.opt_steps)],
+        "torch_losses_every5": lt[::5].round(6).tolist(),
+        "jax_losses_every5": lj[::5].round(6).tolist(),
+    }
+    with open(a.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in
+                      ("max_abs_drift", "max_rel_drift", "final_losses")}))
+    print(f"wrote {a.out}")
+    assert max_d == float(d.max())
+
+
+if __name__ == "__main__":
+    main()

@@ -313,7 +313,7 @@ def test_transformer_radam_trajectory_matches_torch(rng):
 
 
 def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
-                                gen_prefix=3):
+                                gen_prefix=3, trace: list | None = None):
     """Shared driver for the reference-scale bit-parity trajectory:
     d512, 8 blocks, 8 heads, seq_len 321 (reference
     train_transformer_mtasks.py:213-236 with the BASELINE.json 8-block
@@ -408,6 +408,8 @@ def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
             updates, opt_state = tx.update(gm, opt_state, params)
             params = optax.apply_updates(params, updates)
             g_acc, cnt = None, 0
+        if trace is not None:
+            trace.append((float(lt.detach()), float(lj)))
     return max_d
 
 
