@@ -32,6 +32,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--opt-steps", type=int, default=50)
     ap.add_argument("--out", default="/tmp/ref_scale_parity.json")
+    ap.add_argument("--control", type=float, default=0.0,
+                    help="run the TORCH side only, with one weight "
+                         "perturbed by this relative epsilon — the "
+                         "chaos-amplification control arm. Compare its "
+                         "drift vs the unperturbed torch trace of the "
+                         "dual run: cross-stack differences are "
+                         "benign iff they amplify like a ~1-ulp "
+                         "perturbation does")
     a = ap.parse_args()
 
     import test_grad_parity as tg
@@ -40,7 +48,7 @@ def main():
     micro = 5 * a.opt_steps
     max_d = tg._reference_scale_trajectory(
         rng, micro_steps=micro, bs=4, accum=5, gen_prefix=micro // 2,
-        trace=trace)
+        trace=trace, run_jax=not a.control, torch_perturb=a.control)
     lt = np.array([t for t, _ in trace])
     lj = np.array([j for _, j in trace])
     d = np.abs(lt - lj)
@@ -50,9 +58,10 @@ def main():
         "max_abs_drift": float(d.max()),
         "max_rel_drift": float(rel.max()),
         "final_losses": {"torch": float(lt[-1]), "jax": float(lj[-1])},
+        "control_perturb": a.control,
         "drift_by_opt_step": [float(d[i * 5:(i + 1) * 5].max())
                               for i in range(a.opt_steps)],
-        "torch_losses_every5": lt[::5].round(6).tolist(),
+        "torch_losses": lt.round(7).tolist(),
         "jax_losses_every5": lj[::5].round(6).tolist(),
     }
     with open(a.out, "w") as f:
@@ -60,7 +69,7 @@ def main():
     print(json.dumps({k: out[k] for k in
                       ("max_abs_drift", "max_rel_drift", "final_losses")}))
     print(f"wrote {a.out}")
-    assert max_d == float(d.max())
+    assert a.control or max_d == float(d.max())
 
 
 if __name__ == "__main__":

@@ -313,7 +313,8 @@ def test_transformer_radam_trajectory_matches_torch(rng):
 
 
 def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
-                                gen_prefix=3, trace: list | None = None):
+                                gen_prefix=3, trace: list | None = None,
+                                run_jax=True, torch_perturb: float = 0.0):
     """Shared driver for the reference-scale bit-parity trajectory:
     d512, 8 blocks, 8 heads, seq_len 321 (reference
     train_transformer_mtasks.py:213-236 with the BASELINE.json 8-block
@@ -335,6 +336,14 @@ def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
                                n_blocks=NB, n_head=NH, res_dropout=0.0)
     params, _ = ti.transformer_params_from_state_dict(twin.state_dict(),
                                                       n_blocks=NB)
+    if torch_perturb:
+        # LSB-perturbation CONTROL arm (torch-vs-torch): nudge ONE
+        # weight by a relative epsilon AFTER the jax export, so the
+        # chaos amplification of a ~1-ulp difference can be compared
+        # against the cross-stack drift (scripts/ref_scale_parity.py)
+        with torch.no_grad():
+            w = dict(twin.named_parameters())["lm_head.weight"]
+            w[0, 0] *= 1.0 + torch_perturb
 
     N = max(8, bs * 4)
     ids = rng.integers(0, 256, (N, T - 1))
@@ -392,21 +401,24 @@ def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
             lt = torch.nn.functional.cross_entropy(
                 twin(xb, generate=False), torch.from_numpy(cond[sl]))
         (lt / accum).backward()
-        gfn = grad_gen if gen else grad_cls
-        lj, g = gfn(params, jnp.asarray(x[sl], jnp.int32),
-                    jnp.asarray(y[sl], jnp.int32),
-                    jnp.asarray(cond[sl], jnp.int32))
-        g_acc = (g if g_acc is None else
-                 jax.tree_util.tree_map(jnp.add, g_acc, g))
+        lj = float("nan")
+        if run_jax:
+            gfn = grad_gen if gen else grad_cls
+            lj, g = gfn(params, jnp.asarray(x[sl], jnp.int32),
+                        jnp.asarray(y[sl], jnp.int32),
+                        jnp.asarray(cond[sl], jnp.int32))
+            g_acc = (g if g_acc is None else
+                     jax.tree_util.tree_map(jnp.add, g_acc, g))
+            max_d = max(max_d, abs(float(lt.detach()) - float(lj)))
         cnt += 1
-        max_d = max(max_d, abs(float(lt.detach()) - float(lj)))
         if cnt == accum:
             torch.nn.utils.clip_grad_norm_(twin.parameters(), 0.8)
             opt.step()
             opt.zero_grad()
-            gm = jax.tree_util.tree_map(lambda a: a / accum, g_acc)
-            updates, opt_state = tx.update(gm, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            if run_jax:
+                gm = jax.tree_util.tree_map(lambda a: a / accum, g_acc)
+                updates, opt_state = tx.update(gm, opt_state, params)
+                params = optax.apply_updates(params, updates)
             g_acc, cnt = None, 0
         if trace is not None:
             trace.append((float(lt.detach()), float(lj)))
