@@ -96,3 +96,48 @@ def test_weight_decay_skips_out_of_graph_params():
     assert jnp.array_equal(p["unused_w"], params["unused_w"])
     assert jnp.array_equal(p["bias"], params["bias"])
     assert float(jnp.max(jnp.abs(p["used_w"] - params["used_w"]))) > 1e-3
+
+
+def test_radam_per_param_step_counts_match_torch():
+    """torch.optim.RAdam keeps state['step'] PER PARAMETER and skips
+    grad=None params entirely; under the reference's alternating
+    multitask schedule the idle head's eventual first updates therefore
+    run the early rectification (momentum) branch regardless of how
+    many steps the other head took. A global step count drops it into
+    the adaptive branch instead — found by the 50-step reference-scale
+    trajectory (divergence exactly one optimizer step after the task
+    switch; results/ref_scale_parity_50step.json)."""
+    rng = np.random.default_rng(3)
+    shape = (4, 3)
+    a0 = rng.standard_normal(shape).astype(np.float32)
+    b0 = rng.standard_normal(shape).astype(np.float32)
+    ga = [rng.standard_normal(shape).astype(np.float32) for _ in range(18)]
+    gb = [rng.standard_normal(shape).astype(np.float32) for _ in range(18)]
+
+    # torch: param B idle (grad=None) for the first 10 steps — covers
+    # torch-B's full momentum branch (t<=4) and the adaptive entry
+    pa = torch.nn.Parameter(torch.tensor(a0.copy()))
+    pb = torch.nn.Parameter(torch.tensor(b0.copy()))
+    opt = torch.optim.RAdam([pa, pb], lr=1e-2, betas=(0.9, 0.95))
+    for i in range(18):
+        opt.zero_grad()
+        pa.grad = torch.tensor(ga[i])
+        if i >= 10:
+            pb.grad = torch.tensor(gb[i])
+        opt.step()
+
+    from vq_vae_transformer_arc_welding_tpu.train.optim import (
+        scale_by_torch_radam)
+    tx = optax.chain(scale_by_torch_radam(0.9, 0.95), optax.scale(-1e-2))
+    params = {"a": jnp.asarray(a0), "b": jnp.asarray(b0)}
+    state = tx.init(params)
+    for i in range(18):
+        g = {"a": jnp.asarray(ga[i]),
+             "b": jnp.asarray(gb[i]) if i >= 10 else jnp.zeros(shape)}
+        updates, state = tx.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["a"]),
+                               pa.detach().numpy(), rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]),
+                               pb.detach().numpy(), rtol=0, atol=2e-6)

@@ -26,42 +26,66 @@ class _RAdamState(NamedTuple):
 
 def scale_by_torch_radam(b1: float = 0.9, b2: float = 0.999,
                          eps: float = 1e-8) -> optax.GradientTransformation:
-    """Bit-faithful torch.optim.RAdam scaling.
+    """Bit-faithful torch.optim.RAdam scaling, including PER-PARAMETER
+    step counts.
 
-    optax.scale_by_radam applies eps to the bias-corrected
-    sqrt(v_hat); torch applies it to raw sqrt(v) and multiplies the
-    numerator by sqrt(1-b2^t) — the trajectories diverge ~1e-6/step
-    once rectification (rho_t > 5) engages. We match torch exactly
-    (verified against torch.optim.RAdam in tests/test_optim.py).
+    Two torch behaviors matter here:
+
+    - eps placement: optax.scale_by_radam applies eps to the
+      bias-corrected sqrt(v_hat); torch applies it to raw sqrt(v) and
+      multiplies the numerator by sqrt(1-b2^t) — trajectories diverge
+      ~1e-6/step once rectification engages. Matched exactly
+      (tests/test_optim.py).
+    - step counting: torch keeps `state['step']` PER PARAMETER and
+      skips grad=None params entirely (no step, no moment update, no
+      change). Under the reference's alternating multitask schedule
+      the idle head is exactly such a param for whole stages, so its
+      eventual first updates run the t=1,2,... rectification
+      (momentum) branch — while a global count (optax-style) would
+      drop it straight into the adaptive branch at t=N_other_stage.
+      Found by the 50-step reference-scale trajectory
+      (results/ref_scale_parity_50step.json: bit-tight for the 25-step
+      gen prefix, divergence starting ONE step after the task switch).
+      As with add_decayed_weights_where_grad below, an all-zero
+      gradient tensor is jax's observable for torch's grad=None.
     """
     rho_inf = 2.0 / (1.0 - b2) - 1.0
 
     def init(params):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return _RAdamState(jnp.zeros([], jnp.int32), zeros,
+        counts = jax.tree_util.tree_map(
+            lambda _: jnp.zeros([], jnp.int32), params)
+        return _RAdamState(counts, zeros,
                            jax.tree_util.tree_map(jnp.zeros_like, params))
 
     def update(updates, state, params=None):
         del params
-        count = state.count + 1
-        t = count.astype(jnp.float32)
-        mu = jax.tree_util.tree_map(
-            lambda m, g: b1 * m + (1 - b1) * g, state.mu, updates)
-        nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, updates)
-        bc1 = 1.0 - b1 ** t
-        bc2 = 1.0 - b2 ** t
-        rho_t = rho_inf - 2.0 * t * (b2 ** t) / bc2
-        rect = jnp.sqrt(((rho_t - 4.0) * (rho_t - 2.0) * rho_inf)
-                        / ((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t))
 
-        def scaled(m, v):
-            mhat = m / bc1
-            adaptive = jnp.sqrt(bc2) / (jnp.sqrt(v) + eps)
-            return jnp.where(rho_t > 5.0, mhat * adaptive * rect, mhat)
+        def leaf(c, m, v, g):
+            in_graph = jnp.any(g != 0)
+            t_new = c + in_graph.astype(c.dtype)
+            m_new = jnp.where(in_graph, b1 * m + (1 - b1) * g, m)
+            v_new = jnp.where(in_graph, b2 * v + (1 - b2) * g * g, v)
+            # t_safe only guards the div-by-zero of a never-updated
+            # leaf, whose output is zeroed below anyway
+            t = jnp.maximum(t_new.astype(jnp.float32), 1.0)
+            bc1 = 1.0 - b1 ** t
+            bc2 = 1.0 - b2 ** t
+            rho_t = rho_inf - 2.0 * t * (b2 ** t) / bc2
+            rect = jnp.sqrt(((rho_t - 4.0) * (rho_t - 2.0) * rho_inf)
+                            / ((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t))
+            mhat = m_new / bc1
+            adaptive = jnp.sqrt(bc2) / (jnp.sqrt(v_new) + eps)
+            out = jnp.where(rho_t > 5.0, mhat * adaptive * rect, mhat)
+            return (jnp.where(in_graph, out, jnp.zeros_like(out)),
+                    t_new, m_new, v_new)
 
-        new_updates = jax.tree_util.tree_map(scaled, mu, nu)
-        return new_updates, _RAdamState(count, mu, nu)
+        out = jax.tree_util.tree_map(leaf, state.count, state.mu,
+                                     state.nu, updates)
+        is_tup = lambda x: isinstance(x, tuple)  # noqa: E731
+        pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+            lambda o: o[i], out, is_leaf=is_tup)
+        return pick(0), _RAdamState(pick(1), pick(2), pick(3))
 
     return optax.GradientTransformation(init, update)
 
