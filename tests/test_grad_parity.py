@@ -448,15 +448,24 @@ def test_transformer_trajectory_reference_scale(rng):
 def test_transformer_trajectory_reference_scale_long(rng):
     """≥50 full RAdam+clip+accumulate optimizer steps at reference
     scale (d512/8 blocks/seq 321) with the reference accumulate count
-    (5 — train_transformer_mtasks.py:99-197): the round-2 VERDICT's
-    requested extension of the 6-step anchor. Loss-trajectory drift
-    between the stacks stays in the accumulated-ulp regime (<2e-3
-    after 250 micro-steps; the 6-step bound 2e-4 grows with sqrt-ish
-    step count as independent rounding errors accumulate)."""
+    (5 — train_transformer_mtasks.py:99-197), crossing the gen→class
+    task switch: the round-2 VERDICT's requested extension of the
+    6-step anchor.
+
+    This test EARNED ITS KEEP: the first 50-step run was bit-tight
+    (~1e-6) through the whole 25-optimizer-step gen prefix, then
+    diverged exactly ONE step after the task switch
+    (results/ref_scale_parity_50step.json) — root cause: torch RAdam's
+    PER-PARAMETER step counts vs our then-global count (the idle class
+    head's first updates belong in the rectification branch). Fixed in
+    train/optim.py::scale_by_torch_radam; the post-fix 12-step crossing
+    measures max drift 5.0e-6
+    (results/ref_scale_parity_12step_postfix.json). The 1e-3 bound
+    leaves ulp-accumulation headroom for 250 micro-steps."""
     n_opt = int(os.environ["REF_SCALE_PARITY_STEPS"])
     max_d = _reference_scale_trajectory(
         rng, micro_steps=5 * n_opt, bs=4, accum=5, gen_prefix=5 * n_opt // 2)
     print(f"\nREF_SCALE_PARITY long trajectory: {n_opt} optimizer steps "
           f"(x5 accumulate, bs 4), max loss drift {max_d:.3e}")
-    assert max_d < 2e-3, \
+    assert max_d < 1e-3, \
         f"long reference-scale trajectory diverged: max loss diff {max_d}"
