@@ -183,16 +183,63 @@ def torch_cpu_baseline(batch=16, iters=2):
     return wps
 
 
+def _probe_backend(timeout_s: int = 300) -> bool:
+    """True iff the default (axon TPU) backend initializes within
+    timeout_s, probed in a SUBPROCESS: when the shared pool is
+    unavailable the in-process init blocks ~30 min before raising
+    (observed 2026-08-18), which would eat the whole bench window."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def cpu_fallback_windows_per_sec(batch=16, iters=3, groups=2):
+    """Outage fallback: the exact-f32 XLA pipeline (the Pallas serving
+    kernels would run in interpret mode on CPU — meaningless timing)."""
+    import __graft_entry__ as g
+    vq, tr, vq_params, vq_state, tr_params = g._build()
+    fn = jax.jit(g.make_pipeline(vq, tr))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, N_CYCLES * CYCLE_LEN, 2)), jnp.float32)
+    jax.block_until_ready(fn(vq_params, vq_state, tr_params, x))
+    best = float("inf")
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(vq_params, vq_state, tr_params, x)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    wps = batch * iters / best
+    log(f"cpu-fallback (f32 XLA pipeline): {wps:.1f} windows/s")
+    return wps
+
+
 def main():
-    wps = tpu_windows_per_sec()
+    backend = "tpu"
+    if not _probe_backend():
+        # shared-pool outage: fall back to host CPU so the round still
+        # records a (clearly labeled) number instead of a hang
+        log("TPU tunnel unavailable — falling back to CPU (labeled)")
+        jax.config.update("jax_platforms", "cpu")
+        backend = "cpu_fallback"
+    wps = (tpu_windows_per_sec() if backend == "tpu"
+           else cpu_fallback_windows_per_sec())
     base = torch_cpu_baseline()
     vs = (wps / base) if base else None
-    print(json.dumps({
+    out = {
         "metric": "windows_per_sec_encode_vq_transformer_classify",
         "value": round(wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    if backend != "tpu":
+        out["backend"] = backend
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
