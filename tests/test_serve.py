@@ -404,3 +404,33 @@ def test_encode_tokens_bit_exact_and_int8_guard(rng):
         assert False, "expected RuntimeError without calibrate()"
     except RuntimeError:
         pass
+
+
+def test_chunked_map_pipeline_depth_bit_identical():
+    """The k-deep dispatch pipeline in _chunked_device_map must be a
+    pure scheduling change: multi-chunk + ragged-tail outputs (array
+    and pytree returns) bit-equal to the depth-1 schedule, and the fn
+    must see every chunk exactly once, in order."""
+    import jax.numpy as jnp
+    from vq_vae_transformer_arc_welding_tpu.data.latent import (
+        _chunked_device_map)
+
+    x = np.arange(11 * 3, dtype=np.float32).reshape(11, 3)  # 3 chunks of 4
+
+    def run(depth):
+        calls = []
+
+        def fn(b):
+            calls.append(np.asarray(b[:, 0]))
+            return b * 2.0, {"s": jnp.sum(b, axis=-1)}
+
+        out = _chunked_device_map(fn, x, chunk=4, pipeline_depth=depth)
+        return out, calls
+
+    (y1, t1), c1 = run(1)
+    (y3, t3), c3 = run(3)
+    np.testing.assert_array_equal(y1, y3)
+    np.testing.assert_array_equal(t1["s"], t3["s"])
+    np.testing.assert_array_equal(np.concatenate(c1), np.concatenate(c3))
+    assert y1.shape == (11, 3) and t1["s"].shape == (11,)
+    np.testing.assert_array_equal(y1, x * 2.0)

@@ -33,26 +33,43 @@ LATENT_TASKS = ("classification", "classification_ids", "autoregressive_ids",
                 "autoregressive_ids_classification")
 
 
-def _chunked_device_map(fn, x: np.ndarray, chunk: int = _ENCODE_CHUNK):
+def _chunked_device_map(fn, x: np.ndarray, chunk: int = _ENCODE_CHUNK,
+                        pipeline_depth: int = 2):
     """Apply a jitted fn over fixed-size chunks. EVERY block — including
     sub-chunk requests — is padded up to `chunk`, so fn compiles exactly
     ONE shape regardless of request size (remote-TPU compiles cost 15s+;
     a padded chunk of throwaway rows costs microseconds). Contract
-    asserted by tests/test_serve.py::test_small_requests_single_compile."""
+    asserted by tests/test_serve.py::test_small_requests_single_compile.
+
+    `pipeline_depth` chunks are kept in flight (JAX dispatch is async):
+    chunk i+1's host-side padding + H2D transfer + compute overlap with
+    chunk i's D2H readback instead of serializing on `np.asarray`.
+    Outputs are bit-identical to the depth-1 schedule — only the
+    dispatch order changes. Device memory holds at most `pipeline_depth`
+    chunk-sized input/output buffers."""
     n = len(x)
     outs = []
+    pending = []  # (device pytree, valid row count) not yet read back
+
+    def _drain(keep: int):
+        while len(pending) > keep:
+            out, valid = pending.pop(0)
+            # fn may return a pytree of batch-leading arrays (e.g. the
+            # serving classify path's (probs, saturation) pair) — crop
+            # the padding from every leaf (np.asarray blocks until the
+            # device result is ready)
+            outs.append(jax.tree_util.tree_map(
+                lambda y: np.asarray(y)[:valid], out))
+
     for s in range(0, n, chunk):
         block = x[s:s + chunk]
         pad = chunk - len(block)
         if pad > 0:
             block = np.concatenate([block, np.zeros((pad,) + block.shape[1:],
                                                     block.dtype)])
-        out = fn(jnp.asarray(block))
-        # fn may return a pytree of batch-leading arrays (e.g. the
-        # serving classify path's (probs, saturation) pair) — crop the
-        # padding from every leaf
-        outs.append(jax.tree_util.tree_map(
-            lambda y: np.asarray(y)[:chunk - pad], out))
+        pending.append((fn(jnp.asarray(block)), chunk - pad))
+        _drain(max(pipeline_depth - 1, 0))
+    _drain(0)
     if len(outs) == 1:
         return outs[0]
     return jax.tree_util.tree_map(lambda *ys: np.concatenate(ys), *outs)
