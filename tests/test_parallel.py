@@ -188,3 +188,80 @@ def test_tp_dp_combined_train_step(rng):
     # params keep their TP sharding after the update
     spec = new_params["blocks"][0]["attn"]["c_attn_w"].sharding.spec
     assert spec == P(None, "model")
+
+
+def _pp_mesh(shape):
+    from jax.sharding import Mesh
+    n = int(np.prod([s for _, s in shape]))
+    devs = np.array(jax.devices()[:n]).reshape([s for _, s in shape])
+    return Mesh(devs, tuple(a for a, _ in shape))
+
+
+def test_pipeline_forward_matches_dense(rng):
+    """GPipe pipeline over the stacked block axis == dense scan, both
+    heads (parallel/pipeline.py)."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.pipeline import (
+        pipeline_apply)
+    model = TransformerDecoder(d_model=32, n_classes=20, seq_len=9,
+                               n_blocks=4, n_head=4)
+    params, _ = model.init(0)
+    sp = model.stack_blocks(params)
+    ids = jnp.asarray(rng.integers(0, 20, (8, 9)), jnp.int32)
+    mesh = _pp_mesh([("pipe", 4)])
+    for generate in (True, False):
+        ref, _ = jax.jit(
+            lambda p, i: model.apply(p, None, i, generate=generate))(sp, ids)
+        out = jax.jit(lambda p, i: pipeline_apply(
+            model, p, i, mesh, n_micro=2, generate=generate))(sp, ids)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_dp_compose_matches_dense(rng):
+    """dp x pp on one mesh: microbatch dim sharded over 'data', block
+    stack over 'pipe' — still exactly the dense forward."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.pipeline import (
+        pipeline_apply)
+    model = TransformerDecoder(d_model=32, n_classes=20, seq_len=9,
+                               n_blocks=4, n_head=4)
+    params, _ = model.init(0)
+    sp = model.stack_blocks(params)
+    ids = jnp.asarray(rng.integers(0, 20, (8, 9)), jnp.int32)
+    ref, _ = jax.jit(lambda p, i: model.apply(p, None, i))(sp, ids)
+    mesh = _pp_mesh([("data", 2), ("pipe", 4)])
+    out = jax.jit(lambda p, i: pipeline_apply(
+        model, p, i, mesh, n_micro=2, data_axis="data"))(sp, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_grad_matches_dense(rng):
+    """Reverse-mode through the pipeline (ppermute transposes = the
+    backward pipeline) == dense grads, per parameter leaf."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.pipeline import (
+        pipeline_apply)
+    model = TransformerDecoder(d_model=32, n_classes=20, seq_len=9,
+                               n_blocks=4, n_head=4)
+    params, _ = model.init(0)
+    sp = model.stack_blocks(params)
+    ids = jnp.asarray(rng.integers(0, 20, (8, 9)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 20, (8, 9)), jnp.int32)
+    mesh = _pp_mesh([("pipe", 4)])
+
+    def loss_dense(p):
+        lg, _ = model.apply(p, None, ids)
+        return model.loss_gen(lg, labels)
+
+    def loss_pp(p):
+        lg = pipeline_apply(model, p, ids, mesh, n_micro=2)
+        return model.loss_gen(lg, labels)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_dense))(sp)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(sp)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = jax.tree_util.tree_leaves(g2)
+    for (path, a), b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))

@@ -1,0 +1,156 @@
+"""GPipe-style pipeline parallelism over the transformer block stack.
+
+The reference scales only by data parallelism (Lightning DDP over NCCL,
+reference train_transformer_mtasks.py `--use-all-gpus`); this framework
+treats model scaling as a first-class mesh problem. Tensor parallelism
+(parallel/sharding.py) and sequence parallelism (ring attention) shard
+WITHIN a layer; this module shards ACROSS layers: the stacked block
+pytree (TransformerDecoder.stack_blocks, leading `n_blocks` axis) is
+reshaped to (n_stages, blocks_per_stage, ...), the stage axis is placed
+on a `pipe` mesh axis with shard_map, and microbatches stream through
+the stages over ICI with `lax.ppermute`.
+
+Schedule: the standard GPipe fill-drain loop — `n_micro + n_stages - 1`
+ticks, bubble fraction (n_stages-1)/(n_micro+n_stages-1). Each tick
+every stage runs its local blocks (a lax.scan over blocks_per_stage, so
+XLA compiles ONE block body) and ppermutes its activation to the next
+stage. Stage 0 consumes a fresh microbatch per tick; the last stage's
+outputs are emitted per-stage via out_specs=P(axis) and the caller
+slices stage -1 — no collective on the output path, so reverse-mode
+autodiff flows purely through the ppermute transposes (the inverse
+ring), which is exactly the backward pipeline.
+
+Composes with data parallelism transparently: the microbatch dimension
+is sharded over the `data` axis by in_specs, and the tick loop never
+touches that axis — each data shard runs an independent pipeline.
+Embedding/positional/final-LN/heads are tiny next to the block stack
+and run replicated outside the shard_map.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.6
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.activations import gelu
+from ..ops.norm import layer_norm
+
+
+def stage_blocks(blocks, n_stages: int):
+    """(n_blocks, ...) stacked block pytree -> (n_stages, per_stage, ...)."""
+    def split(a):
+        if a.shape[0] % n_stages:
+            raise ValueError(
+                f"n_blocks={a.shape[0]} not divisible by n_stages={n_stages}")
+        return a.reshape((n_stages, a.shape[0] // n_stages) + a.shape[1:])
+    return jax.tree_util.tree_map(split, blocks)
+
+
+def pipeline_backbone(model, params, x_ids, mesh: Mesh, *,
+                      n_micro: int, axis_name: str = "pipe",
+                      data_axis: str | None = None,
+                      train: bool = False, rng=None):
+    """TransformerDecoder.backbone with the block stack pipelined over
+    `mesh[axis_name]`. Same math tick-for-tick as the dense scan
+    (parity: tests/test_parallel.py::test_pipeline_*); `params` must use
+    the stacked layout (TransformerDecoder.stack_blocks).
+
+    data_axis: optional mesh axis to shard the microbatch dim over
+    (dp x pp on one mesh).
+    """
+    n_stages = mesh.shape[axis_name]
+    per_stage = model.n_blocks // n_stages
+    if per_stage * n_stages != model.n_blocks:
+        raise ValueError(f"n_blocks={model.n_blocks} not divisible by "
+                         f"n_stages={n_stages}")
+    if isinstance(params["blocks"], list):
+        raise ValueError("pipeline_backbone needs the stacked block layout "
+                         "(TransformerDecoder.stack_blocks)")
+    b, t = x_ids.shape
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
+    mb = b // n_micro
+
+    # embedding + dtype policy: mirror TransformerDecoder.backbone exactly
+    x = jnp.take(params["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
+    if model.compute_dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(model.compute_dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+        x = x.astype(model.compute_dtype)
+    x_mb = x.reshape(n_micro, mb, t, x.shape[-1])
+    staged = stage_blocks(params["blocks"], n_stages)
+
+    def _pvary(v):
+        """Mark a pipe-replicated value as pipe-varying (strict VMA
+        typing of jax>=0.8 shard_map; pcast shim as in ring_attention)."""
+        if hasattr(lax, "pcast"):
+            return lax.pcast(v, (axis_name,), to="varying")
+        return lax.pvary(v, (axis_name,))
+
+    def stage_fn(sblk, xs):
+        xs = _pvary(xs)
+        sblk = jax.tree_util.tree_map(lambda a: a[0], sblk)  # local stage
+        idx = lax.axis_index(axis_name)
+        n_ticks = n_micro + n_stages - 1
+
+        def run_stage(h):
+            def body(hh, scanned):
+                blk, j = scanned
+                return model._block_body(
+                    hh, blk, train=train, rng=rng,
+                    layer_idx=idx * per_stage + j), None
+            hh, _ = lax.scan(body, h, (sblk, jnp.arange(per_stage)))
+            return hh
+
+        def tick(buf, tk):
+            # stage 0 consumes a fresh microbatch; later stages consume
+            # what the previous stage ppermuted in last tick. Ticks past
+            # n_micro-1 feed stage 0 a clipped (throwaway) microbatch
+            # whose output never reaches a valid output slot.
+            x_in = xs[jnp.clip(tk, 0, n_micro - 1)]
+            y = run_stage(jnp.where(idx == 0, x_in, buf))
+            nxt = lax.ppermute(y, axis_name,
+                               [(i, i + 1) for i in range(n_stages - 1)])
+            return nxt, y
+
+        _, ys = lax.scan(tick, jnp.zeros_like(xs[0]), jnp.arange(n_ticks))
+        # microbatch m leaves the last stage at tick m + n_stages - 1
+        return ys[n_stages - 1:][None]  # (1, n_micro, mb, t, d) per stage
+
+    mb_spec = data_axis if data_axis else None
+    out = shard_map(
+        stage_fn, mesh=mesh,
+        in_specs=(P(axis_name), P(None, mb_spec)),
+        out_specs=P(axis_name, None, mb_spec))(staged, x_mb)
+    x = out[-1].reshape(b, t, -1)  # last stage's stream
+    return layer_norm(x, params["ln_f_scale"], params["ln_f_bias"])
+
+
+def pipeline_apply(model, params, x_ids, mesh: Mesh, *,
+                   n_micro: int, axis_name: str = "pipe",
+                   data_axis: str | None = None,
+                   train: bool = False, rng=None, generate: bool = True):
+    """TransformerDecoder.apply (dual heads, reference
+    transformer_decoder.py:150-171) over the pipelined backbone."""
+    x = pipeline_backbone(model, params, x_ids, mesh, n_micro=n_micro,
+                          axis_name=axis_name, data_axis=data_axis,
+                          train=train, rng=rng)
+    if generate:
+        return jnp.dot(x, params["lm_head_w"],
+                       preferred_element_type=jnp.float32)
+    ch = params["class_head"]
+    h = jnp.dot(x, ch["l1_w"], preferred_element_type=jnp.float32)
+    if model.class_h_bias:
+        h = h + ch["l1_b"]
+    h = gelu(h.squeeze(-1))
+    logits = jnp.dot(h, ch["l2_w"], preferred_element_type=jnp.float32)
+    if model.class_h_bias:
+        logits = logits + ch["l2_b"]
+    return logits
