@@ -265,3 +265,30 @@ def test_pipeline_grad_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_pipeline_train_mode_dropout_runs(rng):
+    """train=True with a dropout rng through the pipeline: masks fold
+    per (tick, layer) on device-varying indices — must trace, run, and
+    produce finite grads (bitwise dense parity is impossible here: the
+    microbatched mask draw differs from the full-batch draw)."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.pipeline import (
+        pipeline_apply)
+    model = TransformerDecoder(d_model=32, n_classes=20, seq_len=9,
+                               n_blocks=4, n_head=4, res_dropout=0.2)
+    params, _ = model.init(0)
+    sp = model.stack_blocks(params)
+    ids = jnp.asarray(rng.integers(0, 20, (8, 9)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 20, (8, 9)), jnp.int32)
+    mesh = _pp_mesh([("pipe", 4)])
+    key = jax.random.PRNGKey(7)
+
+    def loss(p):
+        lg = pipeline_apply(model, p, ids, mesh, n_micro=2,
+                            train=True, rng=key)
+        return model.loss_gen(lg, labels)
+
+    l, g = jax.jit(jax.value_and_grad(loss))(sp)
+    assert np.isfinite(float(l))
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -97,14 +97,20 @@ def pipeline_backbone(model, params, x_ids, mesh: Mesh, *,
     def stage_fn(sblk, xs):
         xs = _pvary(xs)
         sblk = jax.tree_util.tree_map(lambda a: a[0], sblk)  # local stage
+        # dropout rng: pipe-varying (it folds with the device-varying
+        # layer index), and folded per tick below so each microbatch
+        # draws its own masks — microbatched dropout cannot bitwise
+        # match the dense full-batch draw (mask shapes differ), which
+        # is the standard GPipe caveat; eval-mode parity is exact
+        rng_v = _pvary(rng) if rng is not None else None
         idx = lax.axis_index(axis_name)
         n_ticks = n_micro + n_stages - 1
 
-        def run_stage(h):
+        def run_stage(h, rng_t):
             def body(hh, scanned):
                 blk, j = scanned
                 return model._block_body(
-                    hh, blk, train=train, rng=rng,
+                    hh, blk, train=train, rng=rng_t,
                     layer_idx=idx * per_stage + j), None
             hh, _ = lax.scan(body, h, (sblk, jnp.arange(per_stage)))
             return hh
@@ -115,7 +121,9 @@ def pipeline_backbone(model, params, x_ids, mesh: Mesh, *,
             # n_micro-1 feed stage 0 a clipped (throwaway) microbatch
             # whose output never reaches a valid output slot.
             x_in = xs[jnp.clip(tk, 0, n_micro - 1)]
-            y = run_stage(jnp.where(idx == 0, x_in, buf))
+            rng_t = (jax.random.fold_in(rng_v, tk)
+                     if rng_v is not None else None)
+            y = run_stage(jnp.where(idx == 0, x_in, buf), rng_t)
             nxt = lax.ppermute(y, axis_name,
                                [(i, i + 1) for i in range(n_stages - 1)])
             return nxt, y
