@@ -279,6 +279,37 @@ def test_fused_encoder_resblock_parity(rng):
         np.testing.assert_array_equal(ids_k, ids_e)
 
 
+def test_fused_encoder_bf16_compute(rng):
+    """Opt-in bf16 encoder compute (compute_dtype=jnp.bfloat16): the
+    contraction inputs round to bf16 (f32 accumulation, f32
+    elementwise), so indices may flip only where the argmin margin is
+    within bf16 rounding of z_e — a small fraction on random weights.
+    The default (compute_dtype=None) path stays bit-exact and is
+    covered by test_fused_encoder_resblock_parity."""
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    from vq_vae_transformer_arc_welding_tpu.ops.pallas_encoder import (
+        encode_indices_fused)
+
+    vq = VQVAEPatch(hidden_dim=64, input_dim=2, num_embeddings=32,
+                    embedding_dim=16, n_resblocks=2, learning_rate=1e-3,
+                    patch_size=25)
+    params, state = vq.init(0)
+    x = jnp.asarray(rng.standard_normal((48, 200, 2)), jnp.float32)
+    ids_f = np.asarray(vq.encode_indices(params, state, x))
+    ids_b = np.asarray(encode_indices_fused(vq, params, state, x,
+                                            tile_rows=64,
+                                            compute_dtype=jnp.bfloat16))
+    assert ids_b.shape == ids_f.shape and ids_b.dtype == ids_f.dtype
+    flips = (ids_f != ids_b).mean()
+    assert flips < 0.10, flips  # bf16 rounding, not a broken kernel
+    # group_size=1 must also route through the grouped kernel (the
+    # per-block fused_resblock_eval has no bf16 path), same result
+    ids_b1 = np.asarray(encode_indices_fused(vq, params, state, x,
+                                             tile_rows=64, group_size=1,
+                                             compute_dtype=jnp.bfloat16))
+    np.testing.assert_array_equal(ids_b, ids_b1)
+
+
 def test_int8_encoder_ema_vq(rng):
     """encode_indices_quantized must dispatch to nearest_ema for
     use_improved_vq models (regression: it crashed on the empty

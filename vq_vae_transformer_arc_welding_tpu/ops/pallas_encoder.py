@@ -149,7 +149,8 @@ def encoder_resblocks_fused(model, params, state, h, *,
 
 
 def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024,
-                         group_size: int | None = None):
+                         group_size: int | None = None,
+                         compute_dtype=None):
     """VQVAEPatch.encode_indices with the resblock chain on the fused
     kernel (patch-embed, sep_conv and the VQ argmin stay on XLA —
     they are single fused ops already).
@@ -159,17 +160,28 @@ def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024,
     measured monotone 6,240/6,313/6,439 windows/s for groups 1/2/4 at
     the bench config). Default: as many blocks as fit an ~8 MB weight
     budget (group_size=n_resblocks — the mono kernel — overflows VMEM
-    at hidden 512 x 8 blocks)."""
+    at hidden 512 x 8 blocks in f32; bf16 weights fit all 8).
+
+    compute_dtype: None = exact f32 (bit-comparable indices, the
+    default serving contract). jnp.bfloat16 = bf16 matmul inputs with
+    f32 accumulation inside the kernels. Measured on v5e: SLOWER at
+    every grouping (4.43 f32 vs 4.58-4.84 ms bf16 encoder-only; -4%
+    end-to-end) with 0 index flips on the bench config — the kernel
+    is VPU/traffic-bound around small matmuls, so bf16 inputs buy
+    nothing and the casts cost (BENCHMARKS.md round 6 "bf16 encoder:
+    measured and NOT adopted"). Kept opt-in as the recorded ladder
+    rung."""
     from .patching import patch_embed
     from .conv import center_tap_dense
     from .vq import nearest_codes
 
     if group_size is None:
-        per_block = 2 * model.hidden_dim * model.hidden_dim * 4
+        wbytes = 2 if compute_dtype is not None else 4
+        per_block = 2 * model.hidden_dim * model.hidden_dim * wbytes
         group_size = max(1, (8 << 20) // per_block)
     h = patch_embed(x, params["patch_embed"]["kernel"],
                     params["patch_embed"]["bias"], model.patch_size)
-    if group_size > 1:
+    if group_size > 1 or compute_dtype is not None:
         b_, p_, c_ = h.shape
         weights, vecs = _pack_encoder(model, params, state)
         flat = h.reshape(b_ * p_, c_)
@@ -178,7 +190,8 @@ def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024,
             s1 = min(s0 + group_size, nb)
             flat = fused_encoder_eval(
                 flat, weights[2 * s0:2 * s1], vecs[10 * s0:10 * s1],
-                tile_rows=tile_rows, use_bn=model.batch_norm)
+                tile_rows=tile_rows, use_bn=model.batch_norm,
+                compute_dtype=compute_dtype)
         h = flat.reshape(b_, p_, c_)
     else:
         h = encoder_resblocks_fused(model, params, state, h,
@@ -193,18 +206,25 @@ def encode_indices_fused(model, params, state, x, *, tile_rows: int = 1024,
         z_e.shape[:-1])
 
 
-def _resblock_chain(x, w_ref, vec_ref, n_blocks, use_bn):
+def _resblock_chain(x, w_ref, vec_ref, n_blocks, use_bn, cdt=None):
+    """cdt (compute dtype): None = exact f32 (the bit-comparable-index
+    contract path). jnp.bfloat16 = cast each matmul's LHS to bf16 to
+    match the (already-cast) bf16 weights — MXU runs at bf16 rate with
+    f32 accumulation; gelu/BN/residual stay f32 on the VPU, so only
+    the contraction inputs are rounded (same recipe as bf16 training,
+    models/vqvae_patch.py::compute_dtype)."""
+    lhs = (lambda h: h) if cdt is None else (lambda h: h.astype(cdt))
     for i in range(n_blocks):
         v = vec_ref[10 * i:10 * (i + 1)]
         h = _gelu(x)
         c = jax.lax.dot_general(
-            h, w_ref[2 * i], (((1,), (0,)), ((), ())),
+            lhs(h), w_ref[2 * i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + v[0]
         if use_bn:
             c = _bn_eval(c, v[1], v[2], v[3], v[4])
         h = _gelu(c)
         c = jax.lax.dot_general(
-            h, w_ref[2 * i + 1], (((1,), (0,)), ((), ())),
+            lhs(h), w_ref[2 * i + 1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + v[5]
         if use_bn:
             c = _bn_eval(c, v[6], v[7], v[8], v[9])
@@ -213,11 +233,11 @@ def _resblock_chain(x, w_ref, vec_ref, n_blocks, use_bn):
 
 
 def _all_blocks_kernel(x_ref, w_ref, vec_ref, o_ref, *, n_blocks: int,
-                       use_bn: bool):
+                       use_bn: bool, cdt=None):
     """All resblocks unrolled in one program; weights (2*n_blocks, C, C)
     stay VMEM-resident across the row-tile grid."""
     o_ref[...] = _resblock_chain(x_ref[...], w_ref, vec_ref, n_blocks,
-                                 use_bn)
+                                 use_bn, cdt=cdt)
 
 
 def _entry_blocks_kernel(p_ref, wpe_ref, bpe_ref, w_ref, vec_ref, o_ref, *,
@@ -254,23 +274,35 @@ def _exit_blocks_kernel(x_ref, w_ref, vec_ref, wsep_ref, bsep_ref, cb_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_rows", "interpret", "use_bn"))
+                   static_argnames=("tile_rows", "interpret", "use_bn",
+                                    "compute_dtype"))
 def fused_encoder_eval(x, weights, vecs, *, tile_rows: int = 1024,
-                       use_bn: bool = True, interpret: bool | None = None):
+                       use_bn: bool = True, interpret: bool | None = None,
+                       compute_dtype=None):
     """The WHOLE encoder resblock stack as one kernel: weights
     (2*n_blocks, C, C) resident in VMEM, x crosses HBM once total
     instead of once per block.
     vecs: (10*n_blocks, C) rows [b1, bn1x4, b2, bn2x4] per block.
 
+    compute_dtype: None = exact f32 (default, bit-comparable-index
+    contract). jnp.bfloat16 = bf16 matmul inputs/weights with f32
+    accumulation (halves VMEM weight residency; the residual stream
+    and elementwise math stay f32). Measured SLOWER than f32 on v5e
+    at the bench config — see encode_indices_fused and BENCHMARKS.md
+    round 6; kept opt-in.
+
     NOTE: at the bench config (hidden 512, 8 resblocks) the ~17 MB of
     f32 weights overflow VMEM and Mosaic fails to compile (measured,
     BENCHMARKS.md round 4 "NOT adopted") — use the per-block
     fused_resblock_eval there; this variant fits small-hidden
-    configs."""
+    configs (and the full 8-block stack in bf16, whose weights halve
+    to ~8.4 MB)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, c = x.shape
     n_blocks = weights.shape[0] // 2
+    if compute_dtype is not None:
+        weights = weights.astype(compute_dtype)
 
     npad = -(-n // tile_rows) * tile_rows
     if npad != n:
@@ -278,7 +310,7 @@ def fused_encoder_eval(x, weights, vecs, *, tile_rows: int = 1024,
     const = lambda i: (0, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         functools.partial(_all_blocks_kernel, n_blocks=n_blocks,
-                          use_bn=use_bn),
+                          use_bn=use_bn, cdt=compute_dtype),
         grid=(npad // tile_rows,),
         in_specs=[
             pl.BlockSpec((tile_rows, c), lambda i: (i, 0),
