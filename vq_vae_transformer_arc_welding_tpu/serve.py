@@ -375,7 +375,13 @@ class WeldingQualityPipeline:
         Measured fast recipe at the bench config
         (cache_dtype=jnp.bfloat16, cache_buckets=64): **0.64 -> 0.31
         ms/token**, id agreement 0.996 (BENCHMARKS.md round 5). The
-        default stays the exact single-scan f32 path."""
+        default stays the exact single-scan f32 path.
+
+        Batch guidance (round-3 sweep, BENCHMARKS.md): the fast
+        recipe wins 2.0-3.0x from b=16 up (peak ~179k tokens/s at
+        b=128) but LOSES at b=1 (0.226 vs 0.189 ms/step — a single
+        stream is dispatch-latency-bound and the segment bodies add
+        overhead); keep the exact default for single-stream decode."""
         if prompt is not None:
             prompt = jnp.asarray(prompt, jnp.int32)
             start = jnp.concatenate(
