@@ -184,14 +184,18 @@ def torch_cpu_baseline(batch=16, iters=2):
 
 
 def _probe_backend(timeout_s: int = 300) -> bool:
-    """True iff the default (axon TPU) backend initializes within
-    timeout_s, probed in a SUBPROCESS: when the shared pool is
+    """True iff the default backend initializes within timeout_s AND is
+    actually a TPU, probed in a SUBPROCESS: when the shared pool is
     unavailable the in-process init blocks ~30 min before raising
-    (observed 2026-08-18), which would eat the whole bench window."""
+    (observed 2026-08-18), which would eat the whole bench window. The
+    platform assert keeps a CPU-initialized JAX (no libtpu, or a leaked
+    JAX_PLATFORMS=cpu) from publishing an unlabeled CPU number as the
+    TPU headline — such hosts take the labeled cpu_fallback path."""
     import subprocess
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform == 'tpu'"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:

@@ -410,15 +410,26 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch")):
                     print(f"=== seed {seed}: reusing pinned VQ ckpt "
                           f"{cand} ===", flush=True)
             torch_twin = recon_dm = None
-            if jax_ckpt is None:
+            if jax_ckpt is None or "vqvae" in legs:
+                # the jax VQ leg runs when no checkpoint is pinned yet
+                # (its checkpoint feeds the latent/transformer legs) OR
+                # when the vqvae parity row itself was requested — a
+                # pinned sentinel must not silently skip an explicitly
+                # requested leg. The torch twin trains only for the
+                # parity row. Retraining with the same seed on the same
+                # backend reproduces the pinned checkpoint, so pairing
+                # with previously-run sides is preserved.
                 _banner(seed, "VQ-VAE")
-                # the jax VQ leg always runs (its checkpoint feeds the
-                # latent/transformer legs); the torch twin trains only
-                # when the vqvae parity row itself was requested
-                res["vqvae"], jax_ckpt, torch_twin, recon_dm = study_vqvae(
+                res["vqvae"], fresh_ckpt, torch_twin, recon_dm = study_vqvae(
                     data_dir, seed, train_torch="vqvae" in legs)
-                with open(sentinel, "w") as f:
-                    f.write(jax_ckpt)
+                if jax_ckpt is not None and jax_ckpt != fresh_ckpt:
+                    print(f"=== seed {seed}: vqvae leg retrained; pinned "
+                          f"ckpt {jax_ckpt} still feeds downstream legs ===",
+                          flush=True)
+                else:
+                    jax_ckpt = fresh_ckpt
+                    with open(sentinel, "w") as f:
+                        f.write(jax_ckpt)
             if seed == seeds[0] and torch_twin is not None:
                 res["roundtrip"] = roundtrip_checks(
                     jax_ckpt, torch_twin, recon_dm, out_dir)
@@ -507,9 +518,16 @@ def write_quality_md(results, path, ref_scale=None):
     ]
     ok_overall = True
     for label, comp, metric, kind in specs:
+        ns = n_seeds(comp, metric)
+        if ns == 0:
+            # legs run selectively and merged: a component with no
+            # paired seeds was simply not run — render it as such
+            # rather than failing the report on nan deltas
+            rows.append(f"| {label} | `{metric}` | not run | not run | "
+                        f"— | 0 | — |")
+            continue
         jm, js = agg(comp, "jax", metric)
         tm, ts = agg(comp, "torch", metric)
-        ns = n_seeds(comp, metric)
         delta = jm - tm
         if kind == "f1":
             passed = abs(delta) <= 0.005 + js + ts  # 0.5 F1 pts + seed noise

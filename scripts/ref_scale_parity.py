@@ -35,11 +35,15 @@ def main():
     ap.add_argument("--control", type=float, default=0.0,
                     help="run the TORCH side only, with one weight "
                          "perturbed by this relative epsilon — the "
-                         "chaos-amplification control arm. Compare its "
-                         "drift vs the unperturbed torch trace of the "
-                         "dual run: cross-stack differences are "
-                         "benign iff they amplify like a ~1-ulp "
-                         "perturbation does")
+                         "chaos-amplification control arm. Its drift is "
+                         "computed against the unperturbed torch trace "
+                         "of a prior dual run (--baseline): cross-stack "
+                         "differences are benign iff they amplify like "
+                         "a ~1-ulp perturbation does")
+    ap.add_argument("--baseline", default=None,
+                    help="control mode: JSON artifact of the dual run "
+                         "at the SAME --opt-steps, whose torch_losses "
+                         "is the unperturbed trace to diff against")
     a = ap.parse_args()
 
     import test_grad_parity as tg
@@ -50,20 +54,38 @@ def main():
         rng, micro_steps=micro, bs=4, accum=5, gen_prefix=micro // 2,
         trace=trace, run_jax=not a.control, torch_perturb=a.control)
     lt = np.array([t for t, _ in trace])
-    lj = np.array([j for _, j in trace])
-    d = np.abs(lt - lj)
+    if a.control:
+        # the jax column was never run (all-NaN); the control arm's
+        # comparison target is the stored unperturbed torch trace
+        if not a.baseline:
+            ap.error("--control requires --baseline (dual-run artifact "
+                     "providing the unperturbed torch_losses trace)")
+        with open(a.baseline) as f:
+            base = json.load(f)
+        ref = np.array(base.get("torch_losses", []))
+        if ref.shape != lt.shape:
+            raise SystemExit(
+                f"--baseline torch_losses length {ref.shape} does not "
+                f"match this run's {lt.shape}; re-run the dual run at "
+                f"--opt-steps {a.opt_steps} first")
+    else:
+        ref = np.array([j for _, j in trace])
+    d = np.abs(lt - ref)
     rel = d / np.maximum(np.abs(lt), 1e-9)
     out = {
         "opt_steps": a.opt_steps, "micro_steps": micro,
         "max_abs_drift": float(d.max()),
         "max_rel_drift": float(rel.max()),
-        "final_losses": {"torch": float(lt[-1]), "jax": float(lj[-1])},
+        "final_losses": {"torch": float(lt[-1]),
+                         ("torch_unperturbed" if a.control else "jax"):
+                             float(ref[-1])},
         "control_perturb": a.control,
         "drift_by_opt_step": [float(d[i * 5:(i + 1) * 5].max())
                               for i in range(a.opt_steps)],
         "torch_losses": lt.round(7).tolist(),
-        "jax_losses_every5": lj[::5].round(6).tolist(),
     }
+    if not a.control:
+        out["jax_losses_every5"] = ref[::5].round(6).tolist()
     with open(a.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: out[k] for k in

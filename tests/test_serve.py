@@ -273,6 +273,32 @@ def test_inpath_saturation_counter_default_on(tmp_path, rng):
     assert float(probe_rate) > pipe.saturation_threshold
 
 
+def test_saturation_monitor_toggle_rejits(tmp_path, rng):
+    """monitor_saturation is baked into the jitted classify at trace
+    time, so the flag is a re-jitting property: toggling it AFTER the
+    first int8 classify() must take effect (off -> the counter stops
+    updating; on -> it resumes), not be silently ignored by the cached
+    trace."""
+    pipe = _tiny_pipeline(tmp_path)
+    pipe.precision = "int8"
+    calib = rng.standard_normal((12, 2 * 200, 2)).astype(np.float32)
+    pipe.calibrate(calib)
+
+    pipe.classify(calib[:4])
+    assert pipe.last_saturation_rate is not None  # default ON, recorded
+
+    pipe.monitor_saturation = False               # post-trace opt-out
+    pipe.last_saturation_rate = None
+    labels_off, probs_off = pipe.classify(calib[:4])
+    assert pipe.last_saturation_rate is None      # counter really off
+
+    pipe.monitor_saturation = True                # and back on
+    labels_on, probs_on = pipe.classify(calib[:4])
+    assert pipe.last_saturation_rate is not None
+    np.testing.assert_array_equal(labels_off, labels_on)
+    np.testing.assert_allclose(probs_off, probs_on, rtol=1e-6)
+
+
 def test_pipeline_mesh_data_parallel(tmp_path, rng):
     """Serving over a device mesh: batches shard over the 'data' axis
     via shard_map, weights replicate, and results are identical to the

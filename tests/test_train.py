@@ -213,6 +213,37 @@ def test_resume_from_last_matches_uninterrupted(data_dir, tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_resume_migrates_pre_perparam_radam_count(tmp_path):
+    """Checkpoints saved before scale_by_torch_radam switched to
+    per-parameter step counts store `count` as ONE scalar; restoring
+    them against the new per-leaf template must broadcast that scalar
+    to every leaf (the exact old semantics: a global count means every
+    param stepped every update) instead of failing on the structure
+    mismatch."""
+    from vq_vae_transformer_arc_welding_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint)
+    from vq_vae_transformer_arc_welding_tpu.train.optim import _RAdamState
+
+    model = MLP(input_size=8, output_size=2, in_dim=1, hidden_sizes=4,
+                n_hidden_layers=1, dropout_p=0.0, learning_rate=1e-3)
+    params, state = model.init(0)
+    tx = make_radam(1e-3)
+    opt = tx.init(params)
+    # collapse to the pre-change layout: one global scalar count
+    legacy = tuple(
+        _RAdamState(np.asarray(7, np.int32), s.mu, s.nu)
+        if isinstance(s, _RAdamState) else s
+        for s in opt)
+    path = str(tmp_path / "legacy.ckpt")
+    save_checkpoint(path, "MLP", {}, params, state, opt_state=legacy)
+
+    _, _, restore, _ = load_checkpoint(path)
+    _, _, opt_r = restore((params, state), tx.init(params))
+    radam = next(s for s in opt_r if isinstance(s, _RAdamState))
+    leaves = jax.tree_util.tree_leaves(radam.count)
+    assert leaves and all(int(c) == 7 for c in leaves)
+
+
 def test_grad_accumulation_equivalent_to_large_batch(rng):
     """mean-of-grads over accum microbatches == one big-batch grad."""
     import jax.numpy as jnp

@@ -182,7 +182,11 @@ class TransformerDecoder(Module):
                     preferred_element_type=acc) + m["c_proj_b"]
         return x + dropout(r_mlp, h, self.res_dropout, train).astype(x.dtype)
 
-    def backbone(self, params, x_ids, *, train=False, rng=None):
+    def embed(self, params, x_ids):
+        """Token embedding + positional encoding + the compute-dtype
+        policy cast. Returns (params, x) with both cast. Shared by
+        backbone() and the pipelined backbone (parallel/pipeline.py) so
+        the two paths cannot drift."""
         t = x_ids.shape[1]
         x = jnp.take(params["tok_emb"], x_ids, axis=0) + self.pe[None, :t]
         if self.compute_dtype is not None:
@@ -190,6 +194,27 @@ class TransformerDecoder(Module):
                 lambda a: a.astype(self.compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
             x = x.astype(self.compute_dtype)
+        return params, x
+
+    def heads(self, params, x, *, generate: bool = True):
+        """Dual output heads (reference transformer_decoder.py:150-171)
+        over post-ln_f activations — shared by apply() and
+        parallel/pipeline.py::pipeline_apply."""
+        if generate:
+            return jnp.dot(x, params["lm_head_w"],
+                           preferred_element_type=jnp.float32)
+        ch = params["class_head"]
+        h = jnp.dot(x, ch["l1_w"], preferred_element_type=jnp.float32)
+        if self.class_h_bias:
+            h = h + ch["l1_b"]
+        h = gelu(h.squeeze(-1))                # (B, T)
+        logits = jnp.dot(h, ch["l2_w"], preferred_element_type=jnp.float32)
+        if self.class_h_bias:
+            logits = logits + ch["l2_b"]
+        return logits
+
+    def backbone(self, params, x_ids, *, train=False, rng=None):
+        params, x = self.embed(params, x_ids)
         blocks = params["blocks"]
         if isinstance(blocks, list):
             for i, blk in enumerate(blocks):
@@ -208,21 +233,7 @@ class TransformerDecoder(Module):
     def apply(self, params, state, x_ids, *, train=False, rng=None,
               generate: bool = True):
         x = self.backbone(params, x_ids, train=train, rng=rng)
-        if generate:
-            logits = jnp.dot(x, params["lm_head_w"],
-                             preferred_element_type=jnp.float32)
-        else:
-            ch = params["class_head"]
-            h = jnp.dot(x, ch["l1_w"],
-                        preferred_element_type=jnp.float32)
-            if self.class_h_bias:
-                h = h + ch["l1_b"]
-            h = gelu(h.squeeze(-1))            # (B, T)
-            logits = jnp.dot(h, ch["l2_w"],
-                             preferred_element_type=jnp.float32)
-            if self.class_h_bias:
-                logits = logits + ch["l2_b"]
-        return logits, state
+        return self.heads(params, x, generate=generate), state
 
     # -- losses (reference :226-230) --------------------------------------
 

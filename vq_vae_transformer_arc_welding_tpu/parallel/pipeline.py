@@ -38,7 +38,6 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from ..ops.activations import gelu
 from ..ops.norm import layer_norm
 
 
@@ -77,13 +76,9 @@ def pipeline_backbone(model, params, x_ids, mesh: Mesh, *,
         raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
     mb = b // n_micro
 
-    # embedding + dtype policy: mirror TransformerDecoder.backbone exactly
-    x = jnp.take(params["tok_emb"], x_ids, axis=0) + model.pe[None, :t]
-    if model.compute_dtype is not None:
-        params = jax.tree_util.tree_map(
-            lambda a: a.astype(model.compute_dtype)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
-        x = x.astype(model.compute_dtype)
+    # embedding + dtype policy: the SAME code path as the dense
+    # backbone (model.embed), so the two cannot drift
+    params, x = model.embed(params, x_ids)
     x_mb = x.reshape(n_micro, mb, t, x.shape[-1])
     staged = stage_blocks(params["blocks"], n_stages)
 
@@ -150,15 +145,5 @@ def pipeline_apply(model, params, x_ids, mesh: Mesh, *,
     x = pipeline_backbone(model, params, x_ids, mesh, n_micro=n_micro,
                           axis_name=axis_name, data_axis=data_axis,
                           train=train, rng=rng)
-    if generate:
-        return jnp.dot(x, params["lm_head_w"],
-                       preferred_element_type=jnp.float32)
-    ch = params["class_head"]
-    h = jnp.dot(x, ch["l1_w"], preferred_element_type=jnp.float32)
-    if model.class_h_bias:
-        h = h + ch["l1_b"]
-    h = gelu(h.squeeze(-1))
-    logits = jnp.dot(h, ch["l2_w"], preferred_element_type=jnp.float32)
-    if model.class_h_bias:
-        logits = logits + ch["l2_b"]
-    return logits
+    # the SAME head code path as the dense apply (model.heads)
+    return model.heads(params, x, generate=generate)

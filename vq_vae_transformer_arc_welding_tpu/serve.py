@@ -93,8 +93,10 @@ class WeldingQualityPipeline:
         # zero extra compute passes) and warns past
         # saturation_threshold — the guard against silent calibration
         # drift. The detailed per-site probe stays opt-in
-        # (saturation_rate()).
-        self.monitor_saturation = monitor_saturation
+        # (saturation_rate()). The flag is baked into the jitted
+        # classify at trace time, so it is a property whose setter
+        # re-jits — toggling after the first classify() takes effect.
+        self._monitor_saturation = monitor_saturation
         self.last_saturation_rate: float | None = None
         self.needs_recalibration = False
         self.start_token = (start_token if start_token is not None
@@ -105,6 +107,19 @@ class WeldingQualityPipeline:
             (self.vq_params, self.vq_state, self.tr_params) = put_replicated(
                 (self.vq_params, self.vq_state, self.tr_params), mesh)
         self._rejit()
+
+    @property
+    def monitor_saturation(self) -> bool:
+        return self._monitor_saturation
+
+    @monitor_saturation.setter
+    def monitor_saturation(self, value: bool):
+        # the flag selects whether the jitted classify returns the
+        # (probs, saturation) pair — changing it must drop the cached
+        # trace or the toggle would be silently ignored
+        if bool(value) != self._monitor_saturation:
+            self._monitor_saturation = bool(value)
+            self._rejit()
 
     def _rejit(self):
         ood_fn = lambda x: self.vq_model.forward_ood(  # noqa: E731

@@ -51,6 +51,31 @@ def save_checkpoint(path, model_name: str, hparams: dict, params, state,
     os.replace(tmp, path)
 
 
+def _broadcast_scalar_counts(template_sd, saved_sd):
+    """Migrate pre-per-parameter-count optimizer state dicts.
+
+    scale_by_torch_radam originally kept ONE global step count; it now
+    keeps a count per parameter leaf (torch RAdam semantics, see
+    optim.py). A checkpoint saved before that change stores `count` as a
+    0-d scalar where the template now expects a whole subtree.
+    Broadcasting the scalar to every leaf reproduces the old behavior
+    exactly (a global count means every param stepped every update, so
+    all per-param counts equal the global one)."""
+    if isinstance(template_sd, dict):
+        if not isinstance(saved_sd, dict):
+            arr = np.asarray(saved_sd)
+            if arr.ndim != 0:
+                return saved_sd  # not a scalar/tree mismatch we migrate
+            return {k: _broadcast_scalar_counts(v, saved_sd)
+                    for k, v in template_sd.items()}
+        return {k: (_broadcast_scalar_counts(template_sd[k], v)
+                    if k in template_sd else v)
+                for k, v in saved_sd.items()}
+    if isinstance(saved_sd, dict):
+        return saved_sd
+    return saved_sd
+
+
 def load_checkpoint(path):
     """Returns (model_name, hparams, restore_fn, extra).
 
@@ -69,8 +94,10 @@ def load_checkpoint(path):
         if opt_template is not None:
             if "opt_state" not in payload:
                 raise ValueError("checkpoint carries no optimizer state")
-            opt = serialization.from_state_dict(opt_template,
-                                                payload["opt_state"])
+            saved_opt = _broadcast_scalar_counts(
+                serialization.to_state_dict(_to_numpy_tree(opt_template)),
+                payload["opt_state"])
+            opt = serialization.from_state_dict(opt_template, saved_opt)
             return params, state, opt
         return params, state
 
