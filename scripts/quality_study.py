@@ -666,8 +666,8 @@ reference-scale training below, which runs on the TPU.
 
 | Direction | Check | Result |
 |---|---|---|
-| JAX-trained → exported Lightning .ckpt → torch twin | codebook indices on {rt.get('n_checked', '—')} val cycles | {"bit-equal" if rt.get('export_bit_equal') else "FAILED"} |
-| torch-trained → Lightning-layout .ckpt → imported | codebook indices on {rt.get('n_checked', '—')} val cycles | {"bit-equal" if rt.get('import_bit_equal') else "FAILED"} |
+| JAX-trained → exported Lightning .ckpt → torch twin | codebook indices on {rt.get('n_checked', '—')} val cycles | {"not run" if 'export_bit_equal' not in rt else "bit-equal" if rt['export_bit_equal'] else "FAILED"} |
+| torch-trained → Lightning-layout .ckpt → imported | codebook indices on {rt.get('n_checked', '—')} val cycles | {"not run" if 'import_bit_equal' not in rt else "bit-equal" if rt['import_bit_equal'] else "FAILED"} |
 
 The latent-MLP study additionally asserts that the torch twin's z_q
 latent arrays equal this framework's materialized latents bit-for-bit
