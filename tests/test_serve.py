@@ -460,3 +460,72 @@ def test_chunked_map_pipeline_depth_bit_identical():
     np.testing.assert_array_equal(np.concatenate(c1), np.concatenate(c3))
     assert y1.shape == (11, 3) and t1["s"].shape == (11,)
     np.testing.assert_array_equal(y1, x * 2.0)
+
+
+def test_artifact_roundtrip_f32(tmp_path, rng):
+    """save_artifact/load_artifact must reproduce the f32 pipeline
+    bit-for-bit: same labels/probs, same serving config."""
+    pipe = _tiny_pipeline(tmp_path, n_cycles=2, max_batch=4)
+    x = rng.standard_normal((5, 2 * 200, 2)).astype(np.float32)
+    labels, probs = pipe.classify(x)
+
+    art = str(tmp_path / "artifact_f32")
+    pipe.save_artifact(art)
+    pipe2 = WeldingQualityPipeline.load_artifact(art)
+    assert pipe2.n_cycles == pipe.n_cycles
+    assert pipe2.max_batch == pipe.max_batch
+    assert pipe2.precision == "f32"
+    assert pipe2.start_token == pipe.start_token
+    l2, p2 = pipe2.classify(x)
+    np.testing.assert_array_equal(labels, l2)
+    np.testing.assert_array_equal(probs, p2)
+
+
+def test_artifact_roundtrip_int8_no_recalibration(tmp_path, rng):
+    """The int8 artifact must restore CALIBRATED: no sample windows at
+    load time, quantization tables re-derived bit-identically from the
+    stored absmax + weights (probs bit-equal to the saved pipeline)."""
+    vq = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                    embedding_dim=4, n_resblocks=1, learning_rate=1e-3,
+                    batch_norm=False)
+    vq_params, vq_state = vq.init(0)
+    seq_len = 2 * vq.enc_out_len + 1
+    tr = TransformerDecoder(d_model=16, n_classes=10, seq_len=seq_len,
+                            n_blocks=1, n_head=2)
+    tr_params, _ = tr.init(0)
+    pipe = WeldingQualityPipeline((vq, vq_params, vq_state),
+                                  (tr, tr_params), n_cycles=2, max_batch=4,
+                                  precision="int8",
+                                  encoder_precision="int8")
+    cal = rng.standard_normal((6, 2 * 200, 2)).astype(np.float32)
+    pipe.calibrate(cal)
+    x = rng.standard_normal((3, 2 * 200, 2)).astype(np.float32)
+    labels, probs = pipe.classify(x)
+
+    art = str(tmp_path / "artifact_int8")
+    pipe.save_artifact(art)
+    pipe2 = WeldingQualityPipeline.load_artifact(art)
+    assert pipe2.precision == "int8"
+    assert pipe2.qparams is not None and pipe2.qenc is not None
+    assert pipe2._act_absmax == pipe._act_absmax
+    assert pipe2._enc_absmax == pipe._enc_absmax
+    l2, p2 = pipe2.classify(x)  # no calibrate() call
+    np.testing.assert_array_equal(labels, l2)
+    np.testing.assert_array_equal(probs, p2)
+    # saturation monitoring state survives the round trip default-on
+    assert pipe2.monitor_saturation
+    assert pipe2.last_saturation_rate is not None
+
+
+def test_artifact_version_guard(tmp_path, rng):
+    import json
+    import os
+    pipe = _tiny_pipeline(tmp_path, n_cycles=2, max_batch=4)
+    art = str(tmp_path / "artifact_v")
+    pipe.save_artifact(art)
+    m = json.load(open(os.path.join(art, "manifest.json")))
+    m["artifact_version"] = 99
+    json.dump(m, open(os.path.join(art, "manifest.json"), "w"))
+    import pytest
+    with pytest.raises(ValueError, match="newer"):
+        WeldingQualityPipeline.load_artifact(art)

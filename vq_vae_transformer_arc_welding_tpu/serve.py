@@ -186,6 +186,7 @@ class WeldingQualityPipeline:
                 -1, CYCLE_LEN, 2)
             enc_am = calibrate_encoder_absmax(
                 self.vq_model, self.vq_params, self.vq_state, cyc)
+            self._enc_absmax = dict(enc_am)
             self.qenc = quantize_encoder(self.vq_model, self.vq_params,
                                          enc_am)
             self._rejit()  # drop any f32-encoder trace before calibrating
@@ -194,9 +195,116 @@ class WeldingQualityPipeline:
             [jnp.full((ids.shape[0], 1), self.start_token, ids.dtype), ids],
             axis=1)
         am = calibrate_activation_absmax(self.tr_model, self.tr_params, ids)
+        self._act_absmax = dict(am)
         self.qparams = quantize_transformer(self.tr_params, act_absmax=am)
         self._rejit()
         return am
+
+    # -- artifact persistence ----------------------------------------------
+    #
+    # A deployed pipeline is more than the two training checkpoints: the
+    # int8 path adds calibration state (activation absmax tables) that a
+    # naive restart would have to re-derive from representative traffic.
+    # save_artifact/load_artifact make the FULL serving state a single
+    # self-contained directory, so deploys are repeatable and
+    # calibration is versioned alongside the weights it was measured
+    # for. (No reference counterpart — the reference has no serving
+    # story.) The absmax tables are tiny scalar dicts; the int8 weight
+    # tables are re-derived deterministically from (weights, absmax) at
+    # load, so the artifact stays small and quantization stays
+    # bit-reproducible.
+
+    ARTIFACT_VERSION = 1
+
+    def save_artifact(self, artifact_dir: str):
+        """Persist weights + serving config + int8 calibration to a
+        directory. Restore with `WeldingQualityPipeline.load_artifact` —
+        no re-calibration windows needed."""
+        import json
+        import os
+        os.makedirs(artifact_dir, exist_ok=True)
+        vq_params = jax.device_get(self.vq_params)
+        vq_state = jax.device_get(self.vq_state)
+        tr_params = jax.device_get(self.tr_params)
+        self.vq_model.save(os.path.join(artifact_dir, "vqvae.ckpt"),
+                           vq_params, vq_state)
+        self.tr_model.save(os.path.join(artifact_dir, "transformer.ckpt"),
+                           tr_params, {})
+        manifest = {
+            "artifact_version": self.ARTIFACT_VERSION,
+            "n_cycles": self.n_cycles,
+            "max_batch": self.max_batch,
+            "precision": self.precision,
+            "encoder_precision": self.encoder_precision,
+            "encoder_impl": self.encoder_impl,
+            "start_token": int(self.start_token),
+            "saturation_threshold": float(self.saturation_threshold),
+            "monitor_saturation": bool(self.monitor_saturation),
+            "calibrated": self.qparams is not None,
+            "encoder_calibrated": self.qenc is not None,
+        }
+        with open(os.path.join(artifact_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        cal = {"act_absmax": getattr(self, "_act_absmax", None),
+               "enc_absmax": getattr(self, "_enc_absmax", None)}
+        with open(os.path.join(artifact_dir, "calibration.json"), "w") as f:
+            json.dump(cal, f, indent=2)
+        return artifact_dir
+
+    @classmethod
+    def load_artifact(cls, artifact_dir: str, mesh=None,
+                      max_batch: int | None = None):
+        """Rebuild a pipeline from `save_artifact` output. int8
+        quantization tables are re-derived from the stored weights +
+        absmax calibration (deterministic, bit-identical to the saved
+        pipeline's); `mesh`/`max_batch` may be overridden for the new
+        deployment target."""
+        import json
+        import os
+        with open(os.path.join(artifact_dir, "manifest.json")) as f:
+            manifest = json.load(f)
+        if manifest["artifact_version"] > cls.ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {manifest['artifact_version']} is newer "
+                f"than this build supports ({cls.ARTIFACT_VERSION})")
+        vq = VQVAEPatch.load(os.path.join(artifact_dir, "vqvae.ckpt"))
+        tr_model, tr_params, _ = TransformerDecoder.load(
+            os.path.join(artifact_dir, "transformer.ckpt"))
+        pipe = cls(vq, (tr_model, tr_params), manifest["n_cycles"],
+                   max_batch=(max_batch if max_batch is not None
+                              else manifest["max_batch"]),
+                   precision=manifest["precision"],
+                   start_token=manifest["start_token"], mesh=mesh,
+                   encoder_precision=manifest["encoder_precision"],
+                   encoder_impl=manifest["encoder_impl"],
+                   monitor_saturation=manifest.get("monitor_saturation",
+                                                   True))
+        pipe.saturation_threshold = manifest.get(
+            "saturation_threshold", cls.saturation_threshold)
+        cal_path = os.path.join(artifact_dir, "calibration.json")
+        cal = {}
+        if os.path.exists(cal_path):
+            with open(cal_path) as f:
+                cal = json.load(f)
+        if manifest.get("encoder_calibrated"):
+            if not cal.get("enc_absmax"):
+                raise ValueError("manifest says encoder_calibrated but "
+                                 "calibration.json has no enc_absmax")
+            from .models.quantized import quantize_encoder
+            pipe._enc_absmax = dict(cal["enc_absmax"])
+            pipe.qenc = quantize_encoder(pipe.vq_model, pipe.vq_params,
+                                         pipe._enc_absmax)
+        if manifest.get("calibrated"):
+            if not cal.get("act_absmax"):
+                raise ValueError("manifest says calibrated but "
+                                 "calibration.json has no act_absmax")
+            from .models.quantized import quantize_transformer
+            pipe._act_absmax = dict(cal["act_absmax"])
+            pipe.qparams = quantize_transformer(pipe.tr_params,
+                                                act_absmax=pipe._act_absmax)
+        if manifest.get("encoder_calibrated") or manifest.get("calibrated"):
+            pipe._rejit()
+        return pipe
 
     @classmethod
     def from_checkpoints(cls, vqvae_ckpt: str, transformer_ckpt: str,
