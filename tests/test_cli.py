@@ -109,3 +109,66 @@ def test_classification_only_mode(workdir):
         "--n-blocks", "2", "--vqvae-model", ckpt, "--data-dir", "data"])
     run, results = tm_cli.main(args)
     assert "class_test" in results
+
+
+def test_score_quality_cli(tmp_path):
+    """score_quality: artifact + raw CSV -> per-window scores, windows
+    built per run (no boundary spanning), scaler applied from the
+    artifact."""
+    import numpy as np
+
+    from vq_vae_transformer_arc_welding_tpu.cli import score_quality
+    from vq_vae_transformer_arc_welding_tpu.data.asimow import (
+        load_asimow_csv)
+    from vq_vae_transformer_arc_welding_tpu.data.scaler import StandardScaler
+    from vq_vae_transformer_arc_welding_tpu.models import (
+        TransformerDecoder, VQVAEPatch)
+    from vq_vae_transformer_arc_welding_tpu.serve import (
+        WeldingQualityPipeline)
+
+    csv = str(tmp_path / "prod.csv")
+    write_synthetic_csv(csv, n_cycles_per_run=8, extra_train_runs=0,
+                        seed=3)
+    vi, _, _, run = load_asimow_csv(csv)
+
+    n_cycles = 2
+    vq = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                    embedding_dim=4, n_resblocks=1, learning_rate=1e-3,
+                    batch_norm=False)
+    vq_params, vq_state = vq.init(0)
+    tr = TransformerDecoder(d_model=16, n_classes=10,
+                            seq_len=n_cycles * vq.enc_out_len + 1,
+                            n_blocks=1, n_head=2)
+    tr_params, _ = tr.init(0)
+    pipe = WeldingQualityPipeline((vq, vq_params, vq_state),
+                                  (tr, tr_params), n_cycles=n_cycles,
+                                  max_batch=8)
+    pipe.scaler = StandardScaler().fit(vi)
+    art = str(tmp_path / "artifact")
+    pipe.save_artifact(art)
+
+    out = str(tmp_path / "scores.csv")
+    args = score_quality.build_parser().parse_args(
+        ["--artifact", art, "--data-path", csv, "--out", out])
+    assert score_quality.main(args) == out
+
+    lines = open(out).read().strip().split("\n")
+    assert lines[0] == \
+        "experiment,welding_run,start_cycle,label,p_bad,p_good"
+    # runs are 8 cycles; welding_run ids repeat ACROSS experiments, so
+    # grouping must be by the (experiment, welding_run) pair — each of
+    # the n_groups runs yields range(0, 8-2+1, 2) = 4 windows
+    exp_arr = load_asimow_csv(csv)[2]
+    n_groups = np.unique(np.stack([exp_arr, run], axis=1), axis=0).shape[0]
+    assert n_groups > np.unique(run).shape[0]  # collisions really occur
+    assert len(lines) - 1 == 4 * n_groups
+    rows = [ln.split(",") for ln in lines[1:]]
+    for r in rows:
+        assert r[3] in ("0", "1")
+        assert abs(float(r[4]) + float(r[5]) - 1.0) < 1e-4
+    # stride=1: 7 windows per run
+    args = score_quality.build_parser().parse_args(
+        ["--artifact", art, "--data-path", csv, "--out", out,
+         "--stride", "1"])
+    score_quality.main(args)
+    assert len(open(out).read().strip().split("\n")) - 1 == 7 * n_groups

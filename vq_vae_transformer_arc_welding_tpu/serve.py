@@ -101,6 +101,13 @@ class WeldingQualityPipeline:
         self.needs_recalibration = False
         self.start_token = (start_token if start_token is not None
                             else self.vq_model.num_embeddings)
+        # optional data.scaler.StandardScaler carrying the TRAIN-split
+        # normalization stats (the model only ever saw scaled windows —
+        # reference asimow_dataloader.py:174-177). classify() takes
+        # pre-scaled arrays; attach the training scaler here so deploys
+        # (save_artifact / the score_quality CLI) can normalize raw
+        # sensor windows with the exact training statistics.
+        self.scaler = None
         self.mesh = mesh
         if mesh is not None:
             from .parallel.mesh import put_replicated
@@ -242,6 +249,7 @@ class WeldingQualityPipeline:
             "monitor_saturation": bool(self.monitor_saturation),
             "calibrated": self.qparams is not None,
             "encoder_calibrated": self.qenc is not None,
+            "has_scaler": self.scaler is not None,
         }
         with open(os.path.join(artifact_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
@@ -249,6 +257,11 @@ class WeldingQualityPipeline:
                "enc_absmax": getattr(self, "_enc_absmax", None)}
         with open(os.path.join(artifact_dir, "calibration.json"), "w") as f:
             json.dump(cal, f, indent=2)
+        if self.scaler is not None:
+            with open(os.path.join(artifact_dir, "scaler.json"), "w") as f:
+                json.dump({"mean": np.asarray(self.scaler.mean_).tolist(),
+                           "scale": np.asarray(self.scaler.scale_).tolist()},
+                          f, indent=2)
         return artifact_dir
 
     @classmethod
@@ -304,6 +317,14 @@ class WeldingQualityPipeline:
                                                 act_absmax=pipe._act_absmax)
         if manifest.get("encoder_calibrated") or manifest.get("calibrated"):
             pipe._rejit()
+        if manifest.get("has_scaler"):
+            from .data.scaler import StandardScaler
+            with open(os.path.join(artifact_dir, "scaler.json")) as f:
+                sc = json.load(f)
+            scaler = StandardScaler()
+            scaler.mean_ = np.asarray(sc["mean"], np.float64)
+            scaler.scale_ = np.asarray(sc["scale"], np.float64)
+            pipe.scaler = scaler
         return pipe
 
     @classmethod
