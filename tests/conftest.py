@@ -61,6 +61,9 @@ _SLOW = {
     "test_generate_kv_matches_generate",
     "test_quantization_is_symmetric_int8",
     "test_pipeline_sampling",
+    "test_artifact_roundtrip_f32",
+    "test_artifact_roundtrip_int8_no_recalibration",
+    "test_score_quality_cli",
 }
 
 
