@@ -100,3 +100,14 @@ def main(args) -> str:
                     "envelope — recalibrate on recent windows",
                     100.0 * (pipe.last_saturation_rate or 0.0))
     return args.out
+
+
+def cli_main():
+    """Console-script entry point (pyproject [project.scripts])."""
+    FORMAT = "%(asctime)s - %(levelname)s - %(message)s"
+    log.basicConfig(level=log.INFO, format=FORMAT)
+    main(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()

@@ -239,7 +239,12 @@ def main(hparams):
     return run, results
 
 
-if __name__ == "__main__":
+def cli_main():
+    """Console-script entry point (pyproject [project.scripts])."""
     FORMAT = "%(asctime)s - %(levelname)s - %(message)s"
     log.basicConfig(level=log.INFO, format=FORMAT)
     main(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    cli_main()
