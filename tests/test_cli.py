@@ -171,4 +171,12 @@ def test_score_quality_cli(tmp_path):
         ["--artifact", art, "--data-path", csv, "--out", out,
          "--stride", "1"])
     score_quality.main(args)
-    assert len(open(out).read().strip().split("\n")) - 1 == 7 * n_groups
+    ref_rows = open(out).read()
+    assert len(ref_rows.strip().split("\n")) - 1 == 7 * n_groups
+    # tiny --chunk forces multiple flushes; output must be identical
+    out2 = str(tmp_path / "scores_chunked.csv")
+    args = score_quality.build_parser().parse_args(
+        ["--artifact", art, "--data-path", csv, "--out", out2,
+         "--stride", "1", "--chunk", "3"])
+    score_quality.main(args)
+    assert open(out2).read() == ref_rows

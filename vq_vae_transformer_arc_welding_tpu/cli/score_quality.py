@@ -44,6 +44,9 @@ def build_parser():
     a("--no-scaler", action="store_true",
       help="skip the artifact's scaler even if present (input already "
            "scaled)")
+    a("--chunk", type=int, default=4096,
+      help="windows materialized per classify flush (memory bound; "
+           "results are identical for any value)")
     return parser
 
 
@@ -70,31 +73,49 @@ def main(args) -> str:
     # with colliding ids would be concatenated across experiments
     keys = np.stack([exp, run], axis=1)
     groups = np.unique(keys, axis=0)
+    # flush in bounded chunks: a production CSV can hold hundreds of
+    # thousands of windows (n_cycles*200*2 f32 each) — materializing
+    # them all before classify would peak at multi-GB for no benefit
+    # (classify already batches internally by max_batch)
+    chunk = max(args.chunk, pipe.max_batch)
     windows, meta, skipped = [], [], []
-    for e, r in groups:
-        x = vi[(exp == e) & (run == r)]
-        if x.shape[0] < nc:
-            skipped.append((int(e), int(r)))
-            continue
-        for s in range(0, x.shape[0] - nc + 1, stride):
-            windows.append(x[s:s + nc].reshape(nc * CYCLE_LEN, 2))
-            meta.append((int(e), int(r), s))
+    n_scored = n_bad = 0
+
+    def flush(f):
+        nonlocal n_scored, n_bad, windows, meta
+        if not windows:
+            return
+        labels, probs = pipe.classify(np.stack(windows))
+        for (e, r, s), lab, p in zip(meta, labels, probs):
+            f.write(f"{e},{r},{s},{int(lab)},{p[0]:.6f},{p[1]:.6f}\n")
+        n_scored += len(windows)
+        n_bad += int((np.asarray(labels) == 0).sum())
+        windows, meta = [], []
+
+    with open(args.out, "w") as f:
+        f.write("experiment,welding_run,start_cycle,label,p_bad,p_good\n")
+        for e, r in groups:
+            x = vi[(exp == e) & (run == r)]
+            if x.shape[0] < nc:
+                skipped.append((int(e), int(r)))
+                continue
+            for s in range(0, x.shape[0] - nc + 1, stride):
+                windows.append(x[s:s + nc].reshape(nc * CYCLE_LEN, 2))
+                meta.append((int(e), int(r), s))
+                if len(windows) >= chunk:
+                    flush(f)
+        flush(f)
     if skipped:
         log.warning("skipped %d runs shorter than n_cycles=%d: %s",
                     len(skipped), nc, skipped[:20])
-    if not windows:
+    if n_scored == 0:
+        import os
+        os.remove(args.out)
         raise SystemExit(
             f"no complete windows: every run is shorter than "
             f"n_cycles={nc}")
-
-    labels, probs = pipe.classify(np.stack(windows))
-    with open(args.out, "w") as f:
-        f.write("experiment,welding_run,start_cycle,label,p_bad,p_good\n")
-        for (e, r, s), lab, p in zip(meta, labels, probs):
-            f.write(f"{e},{r},{s},{int(lab)},{p[0]:.6f},{p[1]:.6f}\n")
-    n_bad = int((np.asarray(labels) == 0).sum())
     log.info("scored %d windows from %d runs -> %s (%d flagged bad)",
-             len(windows), len(groups) - len(skipped), args.out, n_bad)
+             n_scored, len(groups) - len(skipped), args.out, n_bad)
     if pipe.needs_recalibration:
         log.warning("int8 saturation %.3f%% exceeded the calibrated "
                     "envelope — recalibrate on recent windows",
