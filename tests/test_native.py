@@ -52,3 +52,33 @@ def test_native_rejects_garbage(tmp_path):
 @needs_native
 def test_native_missing_file():
     assert parse_asimow_csv_native("/nonexistent/file.csv") is None
+
+
+def test_broken_native_falls_back_loudly(csv_path, monkeypatch):
+    """A crashing native parser (bad .so / ABI drift) must WARN — not
+    silently degrade — and the pandas fallback must return the same
+    arrays (VERDICT r3 weak #5)."""
+    from vq_vae_transformer_arc_welding_tpu.native import csv_loader
+
+    def boom(path):
+        raise OSError("simulated ABI drift: symbol not found")
+
+    monkeypatch.setattr(csv_loader, "parse_asimow_csv_native", boom)
+    py = load_asimow_csv(csv_path, use_native=False)
+    with pytest.warns(RuntimeWarning, match="native CSV parser failed"):
+        fb = load_asimow_csv(csv_path, use_native=True)
+    for a, b in zip(fb, py):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_unavailable_native_warns_with_reason(csv_path, monkeypatch):
+    """When the library can't be built/loaded at all the fallback names
+    the recorded reason."""
+    from vq_vae_transformer_arc_welding_tpu.native import build, csv_loader
+
+    monkeypatch.setattr(csv_loader, "load_native_lib", lambda: None)
+    monkeypatch.setattr(build, "_load_error", "dlopen failed (simulated)")
+    py = load_asimow_csv(csv_path, use_native=False)
+    with pytest.warns(RuntimeWarning, match="dlopen failed \\(simulated\\)"):
+        fb = load_asimow_csv(csv_path, use_native=True)
+    np.testing.assert_array_equal(fb[0], py[0])

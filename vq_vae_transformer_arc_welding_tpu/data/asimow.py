@@ -16,6 +16,7 @@ the reference's num_workers=8 (:357-365).
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 
@@ -56,13 +57,25 @@ def load_asimow_csv(path: str, use_native: bool = True):
     fallback to pandas/numpy when no compiler is available.
     """
     if use_native:
+        # the fallback is automatic but LOUD: a broken .so or ABI drift
+        # must not silently cost the native-parse win (2.5x lower peak
+        # RSS, BENCHMARKS.md r6) — VERDICT r3 weak #5
         try:
+            from ..native.build import native_load_error
             from ..native.csv_loader import parse_asimow_csv_native
             result = parse_asimow_csv_native(path)
             if result is not None:
                 return result
-        except Exception:
-            pass
+            reason = native_load_error() or "parser returned no rows"
+            warnings.warn(
+                f"native CSV parser unavailable ({reason}); "
+                "falling back to the Python parser", RuntimeWarning,
+                stacklevel=2)
+        except Exception as e:
+            warnings.warn(
+                f"native CSV parser failed ({type(e).__name__}: {e}); "
+                "falling back to the Python parser", RuntimeWarning,
+                stacklevel=2)
     try:
         import pandas as pd
         df = pd.read_csv(path)

@@ -13,10 +13,20 @@ _LIB = os.path.join(_HERE, "libarcweld_native.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_load_error: str | None = None
+
+
+def native_load_error() -> str | None:
+    """Why the native library is unavailable (None while it is loaded
+    or untried). Callers that silently fall back to a Python path use
+    this to make the degradation loud (VERDICT r3: a bad .so / ABI
+    drift must not silently cost the native-parse win)."""
+    return _load_error
 
 
 def build_native_lib(force: bool = False) -> str | None:
     """Compile the shared library if needed. Returns path or None."""
+    global _load_error
     if not force and os.path.exists(_LIB) \
             and os.path.getmtime(_LIB) >= max(os.path.getmtime(s)
                                               for s in _SRCS):
@@ -27,13 +37,18 @@ def build_native_lib(force: bool = False) -> str | None:
              "-pthread", *_SRCS, "-o", _LIB],
             check=True, capture_output=True, timeout=120)
         return _LIB
-    except (OSError, subprocess.SubprocessError):
+    except (OSError, subprocess.SubprocessError) as e:
+        detail = getattr(e, "stderr", b"") or b""
+        if isinstance(detail, bytes):
+            detail = detail.decode(errors="replace")
+        _load_error = (f"build failed ({type(e).__name__}: {e})"
+                       + (f" — {detail.strip()[:200]}" if detail else ""))
         return None
 
 
 def load_native_lib():
     """Returns the loaded ctypes library or None (cached)."""
-    global _lib, _tried
+    global _lib, _tried, _load_error
     with _lock:
         if _lib is not None or _tried:
             return _lib
@@ -43,7 +58,8 @@ def load_native_lib():
             return None
         try:
             lib = ctypes.CDLL(path)
-        except OSError:
+        except OSError as e:
+            _load_error = f"dlopen failed ({e})"
             return None
         lib.asimow_count_rows.argtypes = [ctypes.c_char_p]
         lib.asimow_count_rows.restype = ctypes.c_int64
