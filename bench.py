@@ -18,6 +18,7 @@ K=256, D=32, 8 resblocks, patch 25; transformer d512, 8 blocks,
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -99,8 +100,15 @@ def tpu_windows_per_sec(batch=BATCH, iters=ITERS, groups=GROUPS):
     return wps
 
 
-def torch_cpu_baseline(batch=16, iters=2):
-    """Reference-architecture pipeline with torch on host CPU."""
+def torch_cpu_baseline(batch=16, iters=2, groups=3):
+    """Reference-architecture pipeline with torch on host CPU.
+
+    Methodology (pinned, VERDICT r3 weak #6): fixed batch/iters, best
+    of `groups` timing groups — min-of-groups discards contended
+    groups the same way the TPU arm does, instead of publishing one
+    2-iter sample whose denominator swings 2x with background host
+    load.
+    """
     try:
         import torch
         from torch import nn
@@ -171,16 +179,61 @@ def torch_cpu_baseline(batch=16, iters=2):
         return l2(torch.nn.functional.gelu(l1(t).squeeze(-1)))
 
     x = torch.randn(batch, N_CYCLES * CYCLE_LEN, 2)
+    best = float("inf")
     with torch.no_grad():
         forward(x)  # warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            forward(x)
-        dt = time.perf_counter() - t0
-    wps = batch * iters / dt
-    log(f"torch-cpu baseline: {iters} x {batch} windows in {dt:.3f}s "
-        f"-> {wps:.1f} windows/s")
+        for _ in range(groups):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                forward(x)
+            best = min(best, time.perf_counter() - t0)
+    wps = batch * iters / best
+    log(f"torch-cpu baseline: best of {groups} x ({iters} x {batch} "
+        f"windows) -> {wps:.1f} windows/s")
     return wps
+
+
+_PINNED_BASELINE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "results", "torch_cpu_baseline_pinned.json")
+
+
+def baseline_windows_per_sec():
+    """The vs_baseline denominator.
+
+    Prefers the PINNED calibration (results/torch_cpu_baseline_pinned
+    .json, measured once at recorded host load with the best-of-groups
+    methodology above; re-measure with `python bench.py --pin-baseline`
+    whenever the baseline arm's code changes). The pin exists because
+    the driver runs this bench at round end, when background study legs
+    may be timesharing the single host CPU — a live denominator under
+    load swings 2x between sessions (VERDICT r3 weak #6) while the TPU
+    numerator doesn't. Falls back to a live measurement (load noted on
+    stderr) when no pin exists.
+    """
+    if os.path.exists(_PINNED_BASELINE):
+        with open(_PINNED_BASELINE) as f:
+            pin = json.load(f)
+        log(f"baseline: pinned {pin['windows_per_sec']:.2f} windows/s "
+            f"(measured {pin['date']} at load1={pin['load1']})")
+        return pin["windows_per_sec"], "pinned"
+    load1 = os.getloadavg()[0]
+    log(f"baseline: no pin — measuring live at load1={load1:.2f}")
+    return torch_cpu_baseline(), "live"
+
+
+def pin_baseline():
+    load1 = os.getloadavg()[0]
+    wps = torch_cpu_baseline(groups=4)
+    os.makedirs(os.path.dirname(_PINNED_BASELINE), exist_ok=True)
+    with open(_PINNED_BASELINE, "w") as f:
+        json.dump({"windows_per_sec": round(wps, 3),
+                   "load1": round(load1, 2),
+                   "date": time.strftime("%Y-%m-%d"),
+                   "methodology": "best of 4 groups x (2 iters x 16 "
+                                  "windows), torch CPU, reference "
+                                  "architecture pipeline"}, f, indent=2)
+    print(f"pinned {wps:.3f} windows/s (load1={load1:.2f}) -> "
+          f"{_PINNED_BASELINE}")
 
 
 def _probe_backend(timeout_s: int = 300) -> bool:
@@ -233,13 +286,14 @@ def main():
         backend = "cpu_fallback"
     wps = (tpu_windows_per_sec() if backend == "tpu"
            else cpu_fallback_windows_per_sec())
-    base = torch_cpu_baseline()
+    base, base_src = baseline_windows_per_sec()
     vs = (wps / base) if base else None
     out = {
         "metric": "windows_per_sec_encode_vq_transformer_classify",
         "value": round(wps, 2),
         "unit": "windows/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "baseline_source": base_src,
     }
     if backend != "tpu":
         out["backend"] = backend
@@ -247,4 +301,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--pin-baseline" in sys.argv:
+        pin_baseline()
+    else:
+        main()
