@@ -292,3 +292,84 @@ def test_pipeline_train_mode_dropout_runs(rng):
     assert np.isfinite(float(l))
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pipelined_decoder_trainer_dp_pp_matches_dense(rng):
+    """dp x pp TRAINING through the real Trainer (the CLI's
+    --pipeline-stages path, VERDICT r3 weak #3): >=3 optimizer steps
+    with PipelinedDecoder on a (data 2, pipe 4) mesh land on the same
+    weights as the dense single-device fit (dropout 0, same seed =>
+    same sampled batches; pipeline math is tick-for-tick the dense
+    scan)."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.mesh import (
+        make_mesh_dp_pp)
+    from vq_vae_transformer_arc_welding_tpu.parallel.pipeline import (
+        PipelinedDecoder)
+    from vq_vae_transformer_arc_welding_tpu.train.optim import (
+        make_transformer_optimizer)
+    from vq_vae_transformer_arc_welding_tpu.train.tasks import (
+        TransformerGenTask)
+
+    x = rng.integers(0, 20, (32, 9)).astype(np.int64)
+    y = rng.integers(0, 20, (32, 9)).astype(np.int64)
+    cond = rng.integers(0, 2, (32,)).astype(np.int64)
+    dm = _DM(x, y, batch_size=8)
+    dm.train = ArraySplit(x, y, cond)
+    dm.val = ArraySplit(x[:16], y[:16], cond[:16])
+    dm.test = dm.val
+
+    def run(model, mesh):
+        task = TransformerGenTask(model)
+        params, state = model.init(0)
+        if not isinstance(params["blocks"], list):
+            pass  # PipelinedDecoder.init already stacked
+        tx = make_transformer_optimizer(model, params, clip_norm=0.8)
+        tr = Trainer(max_epochs=1, seed=5, verbose=False, mesh=mesh)
+        res = tr.fit(task, dm, params, state, tx)
+        return res
+
+    dense = TransformerDecoder(d_model=32, n_classes=22, seq_len=9,
+                               n_blocks=4, n_head=4, res_dropout=0.0)
+    res_d = run(dense, None)
+
+    mesh = make_mesh_dp_pp(n_data=2, n_pipe=4)
+    piped = PipelinedDecoder(
+        TransformerDecoder(d_model=32, n_classes=22, seq_len=9,
+                           n_blocks=4, n_head=4, res_dropout=0.0),
+        mesh, n_micro=2, data_axis="data")
+    res_p = run(piped, mesh)
+
+    # 32 samples / bs 8 = 4 optimizer steps in the epoch
+    dense_stacked = TransformerDecoder.stack_blocks(res_d.final_params)
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(dense_stacked),
+            jax.tree_util.tree_leaves(res_p.final_params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_pipelined_checkpoint_roundtrips_to_dense_load(rng, tmp_path):
+    """A checkpoint saved from pipelined (stacked-layout) training
+    loads back through TransformerDecoder.load and produces the same
+    logits as the pipelined forward."""
+    from vq_vae_transformer_arc_welding_tpu.parallel.mesh import (
+        make_mesh_dp_pp)
+    from vq_vae_transformer_arc_welding_tpu.parallel.pipeline import (
+        PipelinedDecoder)
+
+    mesh = make_mesh_dp_pp(n_data=1, n_pipe=4)
+    piped = PipelinedDecoder(
+        TransformerDecoder(d_model=32, n_classes=20, seq_len=9,
+                           n_blocks=4, n_head=4),
+        mesh, n_micro=2)
+    params, state = piped.init(3)
+    path = str(tmp_path / "stacked.ckpt")
+    piped.save(path, params, state)
+
+    model2, params2, state2 = TransformerDecoder.load(path)
+    ids = jnp.asarray(rng.integers(0, 20, (4, 9)), jnp.int32)
+    ref, _ = piped.apply(params, state, ids)
+    out, _ = model2.apply(params2, state2, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

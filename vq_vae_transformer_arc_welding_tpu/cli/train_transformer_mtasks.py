@@ -58,6 +58,13 @@ def build_parser():
     a("--model-wandb-transformer", type=str, default="",
       help="Transfomrer Model for classification")
     a("--use-all-gpus", action=argparse.BooleanOptionalAction)
+    a("--pipeline-stages", type=int, default=0,
+      help="Pipeline-parallel stages (GPipe over a 'pipe' mesh axis; "
+           "n_blocks must divide evenly; composes with --use-all-gpus "
+           "data parallelism on one mesh). 0/1 = off")
+    a("--pipeline-microbatches", type=int, default=0,
+      help="Microbatches streamed through the pipeline (batch size "
+           "must divide evenly; default = pipeline stages)")
     a("--gen-epochs", type=int, default=10,
       help="Generation epochs per iteration")
     a("--data-dir", type=str, default=None,
@@ -94,15 +101,24 @@ def _make_trainer(epochs, logger, *, monitor=None, mode="max", patience=None,
                    accumulate_grad_batches=5, seed=seed, mesh=mesh)
 
 
-def _maybe_mesh(use_all_devices: bool):
+def _maybe_mesh(use_all_devices: bool, pipeline_stages: int = 0):
     """--use-all-gpus == the reference's DDP switch
     (train_transformer_mtasks.py:149-152): data-parallel over every
-    available accelerator via a mesh; None on a single device."""
-    if not use_all_devices:
-        return None
+    available accelerator via a mesh; None on a single device.
+    --pipeline-stages > 1 adds a 'pipe' axis (GPipe over the block
+    stack, parallel/pipeline.py); with --use-all-gpus the remaining
+    devices form the 'data' axis (dp x pp on one mesh)."""
     import jax
     devices = jax.devices()
-    if len(devices) < 2:
+    if pipeline_stages > 1:
+        if len(devices) < pipeline_stages:
+            raise ValueError(
+                f"--pipeline-stages {pipeline_stages} needs at least that "
+                f"many devices; {len(devices)} available")
+        from ..parallel.mesh import make_mesh_dp_pp
+        n_data = (len(devices) // pipeline_stages if use_all_devices else 1)
+        return make_mesh_dp_pp(n_data=n_data, n_pipe=pipeline_stages)
+    if not use_all_devices or len(devices) < 2:
         return None
     from ..parallel.mesh import make_mesh
     return make_mesh(n_data=len(devices))
@@ -172,6 +188,19 @@ def main(hparams):
         n_head=hparams.n_heads, n_blocks=hparams.n_blocks,
         class_h_bias=bool(hparams.use_class_head_bias),
         class_h_dropout=bool(hparams.use_class_head_dropout))
+    pipe_stages = int(getattr(hparams, "pipeline_stages", 0) or 0)
+    mesh = _maybe_mesh(bool(hparams.use_all_gpus), pipe_stages)
+    if pipe_stages > 1:
+        from ..parallel.pipeline import PipelinedDecoder
+        n_micro = (int(getattr(hparams, "pipeline_microbatches", 0) or 0)
+                   or pipe_stages)
+        data_axis = "data" if mesh.shape["data"] > 1 else None
+        model = PipelinedDecoder(model, mesh, n_micro=n_micro,
+                                 data_axis=data_axis)
+        log.info(f"pipeline-parallel mesh {dict(mesh.shape)}, "
+                 f"{n_micro} microbatches")
+    elif mesh is not None:
+        log.info(f"data-parallel mesh over {mesh.shape} devices")
     run = _TransformerRun(model, hparams.seed)
     n_params = sum(p.size for p in __import__("jax").tree_util.tree_leaves(
         run.params["blocks"]))
@@ -192,21 +221,26 @@ def main(hparams):
                     artifact_dir = artifact.download()
                 model_path = artifact_dir + "/model.ckpt"
             m, p, s = TransformerDecoder.load(model_path)
+            if pipe_stages > 1:
+                from ..parallel.pipeline import PipelinedDecoder
+                if isinstance(p["blocks"], list):
+                    p = m.stack_blocks(p)
+                m = PipelinedDecoder(m, mesh, n_micro=model.n_micro,
+                                     data_axis=model.data_axis)
             run.model, run.params, run.state = m, p, s
             run.tx = make_transformer_optimizer(m, p, clip_norm=0.8)
             run.opt_state = run.tx.init(p)
         results["class_test"] = classification_finetuning(
             run, hparams.class_epoch, logger, class_dm,
             no_early_stopping=bool(hparams.no_early_stopping),
-            seed=hparams.seed)
+            seed=hparams.seed,
+            trainer=_make_trainer(hparams.class_epoch, logger,
+                                  seed=hparams.seed, mesh=mesh))
     else:
         # tasks and trainers are created once and reused across the
         # alternating schedule so compiled epochs are shared (each
         # reference iteration builds fresh Trainers, but recompiling
         # identical graphs per stage would be pure TPU-compile waste)
-        mesh = _maybe_mesh(bool(hparams.use_all_gpus))
-        if mesh is not None:
-            log.info(f"data-parallel mesh over {mesh.shape} devices")
         gen_task = TransformerGenTask(run.model)
         class_task = TransformerClassTask(run.model)
         gen_trainer = _make_trainer(hparams.gen_epochs, logger,

@@ -82,6 +82,27 @@ class TransformerDecoder(Module):
                             class_h_bias=class_h_bias,
                             class_h_dropout=class_h_dropout)
 
+    # -- checkpointing ------------------------------------------------------
+
+    @classmethod
+    def load(cls, path):
+        """Module.load plus stacked-layout tolerance: a checkpoint
+        trained through parallel/pipeline.py::PipelinedDecoder stores
+        the blocks STACKED (leading n_blocks axis) rather than as the
+        per-block list — both layouts run through the same backbone."""
+        from ..train.checkpoint import load_checkpoint
+        name, hparams, restore, _ = load_checkpoint(path)
+        if name != cls.__name__:
+            raise ValueError(f"checkpoint is for {name}, not {cls.__name__}")
+        model = cls(**hparams)
+        tpl_params, tpl_state = model.init(0)
+        try:
+            params, state = restore((tpl_params, tpl_state))
+        except (KeyError, ValueError):
+            params, state = restore((cls.stack_blocks(tpl_params),
+                                     tpl_state))
+        return model, params, state
+
     # -- init -------------------------------------------------------------
 
     def init(self, seed: int = 0):

@@ -46,6 +46,24 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_mesh_dp_pp(n_data: int | None = None, n_pipe: int = 1,
+                    devices=None) -> Mesh:
+    """Mesh with ('data', 'pipe') axes for dp x pipeline-parallel
+    training (parallel/pipeline.py::PipelinedDecoder). 'data' rides the
+    outer ICI dimension so gradient psums stay dense; 'pipe' carries
+    only the stage-to-stage ppermute ring."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_pipe
+    need = n_data * n_pipe
+    if n_pipe < 1 or n_data < 1 or len(devices) < need:
+        raise ValueError(
+            f"make_mesh_dp_pp needs n_data*n_pipe = {n_data}*{n_pipe} = "
+            f"{need} devices but only {len(devices)} are available.")
+    arr = np.array(devices[:need]).reshape(n_data, n_pipe)
+    return Mesh(arr, ("data", "pipe"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
