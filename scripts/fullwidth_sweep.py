@@ -1,0 +1,171 @@
+"""Full-reference-width transformer schedule sweep (JAX/TPU side).
+
+Round-3 found that at the transformer's FULL reference width (d512,
+8 blocks, 8 heads, n_cycles 20 -> seq 321, bs 16, accumulate 5 —
+reference train_transformer_mtasks.py:213-236 defaults) a shortened
+1 x (2 gen + 1 class) + 1 finetune schedule lands the class head in the
+constant-predictor attractor on BOTH stacks (QUALITY.md "Full reference
+width") — an identical outcome but vacuous for the class head. The full
+reference schedule escapes 5/5 JAX seeds but costs ~2,000 CPU-hours for
+the torch twin.
+
+This script finds the MINIMAL schedule between those two where the
+class head escapes (non-zero test/cl/f1_score) on the JAX side, cheaply
+on the TPU, so ONE torch-twin leg can then be paid for at that schedule
+(scripts/quality_study.py --legs transformer --tr-sides torch with the
+matching schedule/data flags). Matches the reference alternating loop
+at /root/reference/train_transformer_mtasks.py:178-197.
+
+Each (data recipe, schedule, seed) leg runs the real CLI in a TPU
+subprocess (scripts/cli_leg.py); the seeded reduced-config VQ-VAE leg
+(same config as quality_study.py) is trained once per data recipe and
+pins its checkpoint in a sentinel so a later torch leg pairs on the
+same latent datasets.
+
+Run: python scripts/fullwidth_sweep.py --out-dir /tmp/fw_sweep \
+       --cycles 60 --schedules 1x2g2c2f 1x2g3c3f --seeds 0 1 2
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from vq_vae_transformer_arc_welding_tpu.data.synthetic import (  # noqa: E402
+    write_synthetic_csv)
+
+VQ = dict(hidden=64, k=32, d=8, n_res=2, patch=25, epochs=15, bs=128,
+          lr=1e-3, clip=0.7, dropout=0.1)
+FW = dict(n_cycles=20, d_model=512, blocks=8, heads=8, bs=16)
+
+SCHED_RE = re.compile(r"^(\d+)x(\d+)g(\d+)c(\d+)f$")
+
+
+def parse_schedule(s: str):
+    m = SCHED_RE.match(s)
+    if not m:
+        raise ValueError(f"schedule {s!r} not of form <i>x<g>g<c>c<f>f")
+    it, g, c, f = map(int, m.groups())
+    return dict(epoch_iter=it, gen_epochs=g, class_epochs=c,
+                finetune_epochs=f)
+
+
+def cli_leg(cli: str, argv: list[str]) -> dict:
+    # stream subprocess output to a per-leg log (capture_output hides
+    # progress, making a hung TPU leg undiagnosable)
+    logp = os.path.join(os.getcwd(), f"leg_{cli}_{int(time.time())}.log")
+    with open(logp, "w") as lf:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
+             "--cli", cli, "--argv-json", json.dumps(argv)],
+            stdout=lf, stderr=subprocess.STDOUT, text=True,
+            cwd=os.getcwd())
+    with open(logp) as lf:
+        stdout = lf.read()
+    line = [ln for ln in stdout.splitlines()
+            if ln.startswith("CLILEG_RESULT ")]
+    if proc.returncode != 0 or not line:
+        sys.stderr.write(stdout[-4000:])
+        raise RuntimeError(f"cli_leg {cli} failed (log: {logp})")
+    out = json.loads(line[-1][len("CLILEG_RESULT "):])
+    print(f"  backend: {out.pop('backend')} (log: {logp})", flush=True)
+    return out
+
+
+def ensure_vq(out_dir: str, data_dir: str, seed: int = 0) -> str:
+    """Train (or reuse) the seeded reduced-config VQ leg; pin sentinel."""
+    sentinel = os.path.join(out_dir, f"vq_ckpt_seed{seed}.txt")
+    if os.path.exists(sentinel):
+        cand = open(sentinel).read().strip()
+        if os.path.exists(cand):
+            print(f"reusing pinned VQ ckpt {cand}", flush=True)
+            return cand
+    print("=== VQ-VAE leg ===", flush=True)
+    leg = cli_leg("recon", [
+        "--epochs", str(VQ["epochs"]), "--batch-size", str(VQ["bs"]),
+        "--num-embeddings", str(VQ["k"]), "--embedding-dim", str(VQ["d"]),
+        "--hidden-dim", str(VQ["hidden"]), "--n-resblocks", str(VQ["n_res"]),
+        "--patch-size", str(VQ["patch"]), "--dropout-p", str(VQ["dropout"]),
+        "--learning-rate", str(VQ["lr"]), "--clipping-value", str(VQ["clip"]),
+        "--data-dir", data_dir, "--seed", str(seed)])
+    ckpt = leg["best_ckpt_path"]
+    with open(sentinel, "w") as f:
+        f.write(ckpt)
+    return ckpt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", default="/tmp/fw_sweep")
+    ap.add_argument("--cycles", type=int, default=100,
+                    help="synthetic cycles per run (torch-leg cost knob)")
+    ap.add_argument("--extra-train-runs", type=int, default=10)
+    ap.add_argument("--schedules", nargs="+",
+                    default=["1x2g2c2f", "1x2g3c3f", "1x4g2c2f"],
+                    help="e.g. 1x2g2c2f = epoch_iter 1, 2 gen epochs, "
+                         "2 class epochs, 2 finetune epochs")
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+
+    out_dir = os.path.abspath(a.out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    out_json = a.out or os.path.join(out_dir, "sweep.json")
+    data_dir = os.path.join(out_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    csv = os.path.join(data_dir, "processed_asimow_dataset.csv")
+    if not os.path.exists(csv):
+        write_synthetic_csv(csv, n_cycles_per_run=a.cycles,
+                            extra_train_runs=a.extra_train_runs, seed=0)
+
+    results = {}
+    if os.path.exists(out_json):
+        with open(out_json) as f:
+            results = json.load(f)
+    cwd = os.getcwd()
+    os.chdir(out_dir)
+    try:
+        vq_ckpt = ensure_vq(out_dir, data_dir)
+        for sched in a.schedules:
+            sc = parse_schedule(sched)
+            for seed in a.seeds:
+                key = f"{sched}/seed{seed}"
+                if key in results:
+                    print(f"skip {key} (done)", flush=True)
+                    continue
+                t0 = time.time()
+                print(f"=== {key} ===", flush=True)
+                leg = cli_leg("transformer", [
+                    "--epoch_iter", str(sc["epoch_iter"]),
+                    "--batch-size", str(FW["bs"]),
+                    "--n-cycles", str(FW["n_cycles"]),
+                    "--d-model", str(FW["d_model"]),
+                    "--n-heads", str(FW["heads"]),
+                    "--n-blocks", str(FW["blocks"]),
+                    "--gen-epochs", str(sc["gen_epochs"]),
+                    "--class-epoch", str(sc["class_epochs"]),
+                    "--finetune-epochs", str(sc["finetune_epochs"]),
+                    "--vqvae-model", vq_ckpt,
+                    "--data-dir", data_dir, "--seed", str(seed)])
+                leg["wall_s"] = round(time.time() - t0, 1)
+                leg["cycles_per_run"] = a.cycles
+                results[key] = leg
+                with open(out_json, "w") as f:
+                    json.dump(results, f, indent=2)
+                print(f"  {key}: f1={leg['test/cl/f1_score']:.4f} "
+                      f"gen={leg['gen/loss']:.4f} [{leg['wall_s']}s]",
+                      flush=True)
+    finally:
+        os.chdir(cwd)
+    print(f"wrote {out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,15 +44,32 @@ def main():
                     help="control mode: JSON artifact of the dual run "
                          "at the SAME --opt-steps, whose torch_losses "
                          "is the unperturbed trace to diff against")
+    ap.add_argument("--schedule", nargs="+", choices=["gen", "class"],
+                    default=None,
+                    help="multi-switch task schedule (e.g. class gen "
+                         "class), --opt-steps optimizer steps per "
+                         "segment — the reference alternates 7 times "
+                         "(train_transformer_mtasks.py:178-197); "
+                         "default: gen prefix then class (one switch)")
     a = ap.parse_args()
 
     import test_grad_parity as tg
     rng = np.random.default_rng(0)
     trace: list = []
-    micro = 5 * a.opt_steps
-    max_d = tg._reference_scale_trajectory(
-        rng, micro_steps=micro, bs=4, accum=5, gen_prefix=micro // 2,
-        trace=trace, run_jax=not a.control, torch_perturb=a.control)
+    if a.schedule:
+        # multi-switch schedule: a.opt_steps optimizer steps PER segment
+        segments = [(s, 5 * a.opt_steps) for s in a.schedule]
+        micro = sum(n for _, n in segments)
+        n_opt_total = len(a.schedule) * a.opt_steps
+        max_d = tg._reference_scale_trajectory(
+            rng, micro_steps=0, bs=4, accum=5, schedule=segments,
+            trace=trace, run_jax=not a.control, torch_perturb=a.control)
+    else:
+        micro = 5 * a.opt_steps
+        n_opt_total = a.opt_steps
+        max_d = tg._reference_scale_trajectory(
+            rng, micro_steps=micro, bs=4, accum=5, gen_prefix=micro // 2,
+            trace=trace, run_jax=not a.control, torch_perturb=a.control)
     lt = np.array([t for t, _ in trace])
     if a.control:
         # the jax column was never run (all-NaN); the control arm's
@@ -73,7 +90,8 @@ def main():
     d = np.abs(lt - ref)
     rel = d / np.maximum(np.abs(lt), 1e-9)
     out = {
-        "opt_steps": a.opt_steps, "micro_steps": micro,
+        "opt_steps": n_opt_total, "micro_steps": micro,
+        "schedule": a.schedule,
         "max_abs_drift": float(d.max()),
         "max_rel_drift": float(rel.max()),
         "final_losses": {"torch": float(lt[-1]),
@@ -81,7 +99,7 @@ def main():
                              float(ref[-1])},
         "control_perturb": a.control,
         "drift_by_opt_step": [float(d[i * 5:(i + 1) * 5].max())
-                              for i in range(a.opt_steps)],
+                              for i in range(n_opt_total)],
         "torch_losses": lt.round(7).tolist(),
     }
     if not a.control:

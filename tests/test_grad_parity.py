@@ -314,7 +314,8 @@ def test_transformer_radam_trajectory_matches_torch(rng):
 
 def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
                                 gen_prefix=3, trace: list | None = None,
-                                run_jax=True, torch_perturb: float = 0.0):
+                                run_jax=True, torch_perturb: float = 0.0,
+                                schedule=None):
     """Shared driver for the reference-scale bit-parity trajectory:
     d512, 8 blocks, 8 heads, seq_len 321 (reference
     train_transformer_mtasks.py:213-236 with the BASELINE.json 8-block
@@ -322,7 +323,13 @@ def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
     weights and batches in both stacks. Returns max |loss_t - loss_j|
     over the trajectory. The first `gen_prefix` micro-steps train the
     generation head, the rest the classification head (the reference's
-    alternating multitask schedule in miniature)."""
+    alternating multitask schedule in miniature).
+
+    schedule: optional list of ("gen"|"class", n_micro_steps) segments
+    overriding gen_prefix — the reference alternates tasks 7 times
+    (3 x (gen -> class) + finetune, train_transformer_mtasks.py:178-197)
+    and the r3 per-parameter-RAdam-step bug surfaced exactly at a task
+    switch, so multi-switch trajectories are the regression surface."""
     import sys
     sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
@@ -383,13 +390,21 @@ def _reference_scale_trajectory(rng, *, micro_steps, bs, accum,
     grad_gen = jax.jit(jax.value_and_grad(make_loss(True)))
     grad_cls = jax.jit(jax.value_and_grad(make_loss(False)))
 
+    if schedule is not None:
+        task_of_step = []
+        for seg_task, seg_n in schedule:
+            task_of_step += [seg_task == "gen"] * seg_n
+        micro_steps = len(task_of_step)
+    else:
+        task_of_step = [b < gen_prefix for b in range(micro_steps)]
+
     twin.train()
     opt.zero_grad()
     g_acc, cnt = None, 0
     max_d = 0.0
     n_batches = N // bs
     for b in range(micro_steps):
-        gen = b < gen_prefix
+        gen = task_of_step[b]
         sl = order[(b % n_batches) * bs:((b % n_batches) + 1) * bs]
         xb = torch.from_numpy(x[sl])
         if gen:
@@ -469,3 +484,28 @@ def test_transformer_trajectory_reference_scale_long(rng):
           f"(x5 accumulate, bs 4), max loss drift {max_d:.3e}")
     assert max_d < 1e-3, \
         f"long reference-scale trajectory diverged: max loss diff {max_d}"
+
+
+@pytest.mark.skipif(not os.environ.get("REF_SCALE_ROUNDTRIP_STEPS"),
+                    reason="hours on this 1-CPU host; opt-in via "
+                           "REF_SCALE_ROUNDTRIP_STEPS=8 (run once per "
+                           "round, result recorded in QUALITY.md)")
+def test_transformer_trajectory_task_roundtrip(rng):
+    """Reference-scale trajectory across a ROUND-TRIP of task switches
+    (class -> gen -> class, k optimizer steps each): the r3 fix (torch
+    RAdam per-parameter step counts, train/optim.py) was exposed
+    exactly at the FIRST gen->class switch; the reference schedule
+    switches 7 times (train_transformer_mtasks.py:178-197), and each
+    re-entry exercises a different per-param count state (the idle
+    head resumes from its own frozen count, not t=1). VERDICT r3
+    item 7. Reproduce standalone:
+    `python scripts/ref_scale_parity.py --schedule class gen class
+     --opt-steps 8 --out results/ref_scale_parity_roundtrip.json`."""
+    k = int(os.environ["REF_SCALE_ROUNDTRIP_STEPS"])
+    max_d = _reference_scale_trajectory(
+        rng, micro_steps=0, bs=4, accum=5,
+        schedule=[("class", 5 * k), ("gen", 5 * k), ("class", 5 * k)])
+    print(f"\nREF_SCALE_ROUNDTRIP class->gen->class {k}+{k}+{k} optimizer "
+          f"steps (x5 accumulate, bs 4), max loss drift {max_d:.3e}")
+    assert max_d < 1e-3, \
+        f"task-roundtrip trajectory diverged: max loss diff {max_d}"
