@@ -223,8 +223,13 @@ def _twin_zq(twin, x_windows, n_cycles) -> np.ndarray:
 
 
 def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
-                     jax_twin=None):
-    """MLP/GRU on raw windows, or MLP on latents when vq_ckpt given."""
+                     jax_twin=None, sides=("jax", "torch")):
+    """MLP/GRU on raw windows, or MLP on latents when vq_ckpt given.
+
+    sides: like study_transformer's — run only one stack's leg so e.g.
+    the jax side can be re-run on the TPU against torch legs recorded
+    in an earlier round (VERDICT r3 weak #1), merged side-aware via
+    scripts/merge_quality_results.py."""
     argv = ["--epochs", str(cfg["epochs"]), "--batch-size", str(cfg["bs"]),
             "--hidden-dim", str(cfg["hidden"]),
             "--learning-rate", str(cfg["lr"]),
@@ -236,7 +241,9 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
             "--data-dir", data_dir, "--seed", str(seed)]
     if vq_ckpt is not None:
         argv += ["--dataset", "latent_vq_vae", "--vqvae-model", vq_ckpt]
-    jx = _jax_leg("class", argv)
+    jx = _jax_leg("class", argv) if "jax" in sides else {}
+    if "torch" not in sides:
+        return {"jax": jx, "torch": {}}
 
     torch.manual_seed(seed + 1)
     val_ids, test_ids = _ids()
@@ -364,7 +371,8 @@ def study_transformer(data_dir, seed, vq_ckpt, sides=("jax", "torch")):
 ALL_LEGS = ("vqvae", "mlp_raw", "gru_raw", "mlp_latent", "transformer")
 
 
-def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch")):
+def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch"),
+              cls_sides=("jax", "torch")):
     # the study chdirs into out_dir (the CLI entry points write
     # model_checkpoints/ to cwd) — resolve before that so a relative
     # --out-dir doesn't double up
@@ -410,7 +418,9 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch")):
                     print(f"=== seed {seed}: reusing pinned VQ ckpt "
                           f"{cand} ===", flush=True)
             torch_twin = recon_dm = None
-            if jax_ckpt is None or "vqvae" in legs:
+            needs_ckpt = bool({"vqvae", "mlp_latent", "transformer"}
+                              & set(legs))
+            if needs_ckpt and (jax_ckpt is None or "vqvae" in legs):
                 # the jax VQ leg runs when no checkpoint is pinned yet
                 # (its checkpoint feeds the latent/transformer legs) OR
                 # when the vqvae parity row itself was requested — a
@@ -453,18 +463,20 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch")):
             if "mlp_raw" in legs:
                 _banner(seed, "MLP raw")
                 res["mlp_raw"] = study_classifier("mlp_raw", MLP_RAW,
-                                                  data_dir, seed)
+                                                  data_dir, seed,
+                                                  sides=cls_sides)
                 _flush_partial(seed, res)
             if "gru_raw" in legs:
                 _banner(seed, "GRU raw")
                 res["gru_raw"] = study_classifier("gru_raw", GRU_RAW,
-                                                  data_dir, seed)
+                                                  data_dir, seed,
+                                                  sides=cls_sides)
                 _flush_partial(seed, res)
             if "mlp_latent" in legs:
                 _banner(seed, "MLP latent")
                 res["mlp_latent"] = study_classifier(
                     "mlp_latent", MLP_LATENT, data_dir, seed,
-                    vq_ckpt=jax_ckpt, jax_twin=jax_twin)
+                    vq_ckpt=jax_ckpt, jax_twin=jax_twin, sides=cls_sides)
                 _flush_partial(seed, res)
             if "transformer" in legs:
                 _banner(seed, f"transformer (sides: {','.join(tr_sides)})")
@@ -744,6 +756,12 @@ if __name__ == "__main__":
                          "constant-predictor attractor (Study C). Use a "
                          "fresh --out-dir per regime: the CSV is cached "
                          "inside it")
+    ap.add_argument("--cls-sides", nargs="+", default=["jax", "torch"],
+                    choices=["jax", "torch"],
+                    help="which stacks' classifier legs to run (e.g. "
+                         "jax-only to re-run the TPU side against torch "
+                         "legs recorded earlier; merge with "
+                         "scripts/merge_quality_results.py)")
     ap.add_argument("--tr-sides", nargs="+", default=["jax", "torch"],
                     choices=["jax", "torch"],
                     help="which stacks' transformer legs to run (the "
@@ -784,7 +802,8 @@ if __name__ == "__main__":
     if a.data_regime == "markov":
         DATA.update(label_process="markov", signature_strength=0.5)
     results = run_study(a.out_dir, a.seeds, legs=tuple(a.legs),
-                        tr_sides=tuple(a.tr_sides))
+                        tr_sides=tuple(a.tr_sides),
+                        cls_sides=tuple(a.cls_sides))
     ref_scale = None
     if a.ref_scale_json and os.path.exists(a.ref_scale_json):
         with open(a.ref_scale_json) as f:
