@@ -57,26 +57,39 @@ def parse_schedule(s: str):
                 finetune_epochs=f)
 
 
-def cli_leg(cli: str, argv: list[str]) -> dict:
+def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
+            retries: int = 2) -> dict:
     # stream subprocess output to a per-leg log (capture_output hides
-    # progress, making a hung TPU leg undiagnosable)
-    logp = os.path.join(os.getcwd(), f"leg_{cli}_{int(time.time())}.log")
-    with open(logp, "w") as lf:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
-             "--cli", cli, "--argv-json", json.dumps(argv)],
-            stdout=lf, stderr=subprocess.STDOUT, text=True,
-            cwd=os.getcwd())
-    with open(logp) as lf:
-        stdout = lf.read()
-    line = [ln for ln in stdout.splitlines()
-            if ln.startswith("CLILEG_RESULT ")]
-    if proc.returncode != 0 or not line:
-        sys.stderr.write(stdout[-4000:])
-        raise RuntimeError(f"cli_leg {cli} failed (log: {logp})")
-    out = json.loads(line[-1][len("CLILEG_RESULT "):])
-    print(f"  backend: {out.pop('backend')} (log: {logp})", flush=True)
-    return out
+    # progress, making a hung TPU leg undiagnosable), and retry with a
+    # timeout: the tunneled TPU's backend init intermittently stalls
+    # (observed ~0.5% CPU for 20+ min; a fresh process succeeds)
+    for attempt in range(retries + 1):
+        logp = os.path.join(os.getcwd(),
+                            f"leg_{cli}_{int(time.time())}.log")
+        try:
+            with open(logp, "w") as lf:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "scripts", "cli_leg.py"),
+                     "--cli", cli, "--argv-json", json.dumps(argv)],
+                    stdout=lf, stderr=subprocess.STDOUT, text=True,
+                    cwd=os.getcwd(), timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"  leg timed out after {timeout_s}s "
+                  f"(attempt {attempt + 1}/{retries + 1}, log: {logp})",
+                  flush=True)
+            continue
+        with open(logp) as lf:
+            stdout = lf.read()
+        line = [ln for ln in stdout.splitlines()
+                if ln.startswith("CLILEG_RESULT ")]
+        if proc.returncode != 0 or not line:
+            sys.stderr.write(stdout[-4000:])
+            raise RuntimeError(f"cli_leg {cli} failed (log: {logp})")
+        out = json.loads(line[-1][len("CLILEG_RESULT "):])
+        print(f"  backend: {out.pop('backend')} (log: {logp})", flush=True)
+        return out
+    raise RuntimeError(f"cli_leg {cli} timed out {retries + 1} times")
 
 
 def ensure_vq(out_dir: str, data_dir: str, seed: int = 0) -> str:
