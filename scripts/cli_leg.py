@@ -57,9 +57,15 @@ def main():
         from vq_vae_transformer_arc_welding_tpu.cli import (
             train_transformer_mtasks as cli)
         _, results = cli.main(cli.build_parser().parse_args(argv))
-        out = {"test/cl/f1_score": float(
-                   results["class_test"]["test/cl/f1_score"]),
+        ct = results["class_test"]
+        out = {"test/cl/f1_score": float(ct["test/cl/f1_score"]),
                "gen/loss": float(results["gen_test"]["test/loss"])}
+        # constant-predictor tripwire (a head stuck on one class shows
+        # acc_good/acc_bad = 1/0 or 0/1) — present when the class task
+        # reports them (train/tasks.py::TransformerClassTask)
+        for k in ("test/cl/acc", "test/cl/acc_good", "test/cl/acc_bad"):
+            if k in ct:
+                out[k] = float(ct[k])
     out["backend"] = jax.devices()[0].platform
     print("CLILEG_RESULT " + json.dumps(out), flush=True)
 

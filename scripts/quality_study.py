@@ -362,6 +362,11 @@ def study_transformer(data_dir, seed, vq_ckpt, sides=("jax", "torch")):
         seed=seed)
     th = {"test/cl/f1_score": tm["test/cl/f1_score"],
           "gen/loss": tm["test/gen/loss"]}
+    # constant-predictor tripwire (paired with the jax leg's
+    # test/cl/acc_good / acc_bad from cli_leg.py)
+    for k in ("test/cl/acc", "test/cl/acc_good", "test/cl/acc_bad"):
+        if k in tm:
+            th[k] = tm[k]
     return {"jax": jx, "torch": th}
 
 
@@ -769,6 +774,24 @@ if __name__ == "__main__":
                          "the TPU; split them across runs sharing the "
                          "same --out-dir — the VQ ckpt sentinel keeps "
                          "the latent datasets paired)")
+    ap.add_argument("--tr-width", choices=["studyb", "full"],
+                    default="studyb",
+                    help="transformer width: 'studyb' = d192/4 blocks/"
+                         "n_cycles 10; 'full' = the reference operating "
+                         "point d512/8 blocks/8 heads/n_cycles 20 -> "
+                         "seq 321 (train_transformer_mtasks.py:213-236 "
+                         "defaults)")
+    ap.add_argument("--tr-schedule", default=None,
+                    help="override the transformer schedule as "
+                         "<i>x<g>g<c>c<f>f (e.g. 2x3g3c4f = epoch_iter "
+                         "2, 3 gen epochs, 3 class epochs, 4 finetune "
+                         "epochs) — used to run the minimal class-head-"
+                         "escaping schedule found by "
+                         "scripts/fullwidth_sweep.py on both stacks")
+    ap.add_argument("--cycles", type=int, default=None,
+                    help="synthetic cycles per run (default 200; the "
+                         "torch-leg cost knob — must match the sweep "
+                         "that chose the schedule)")
     ap.add_argument("--full-width-short", action="store_true",
                     help="transformer leg at the FULL reference width "
                          "(d512/8 blocks/8 heads/n_cycles 20 -> seq 321, "
@@ -799,6 +822,13 @@ if __name__ == "__main__":
         TR.update(n_cycles=20, d_model=512, blocks=8, heads=8,
                   epoch_iter=1, gen_epochs=2, class_epochs=1,
                   finetune_epochs=1)
+    if a.tr_width == "full":
+        TR.update(n_cycles=20, d_model=512, blocks=8, heads=8)
+    if a.tr_schedule:
+        from fullwidth_sweep import parse_schedule
+        TR.update(parse_schedule(a.tr_schedule))
+    if a.cycles:
+        DATA.update(n_cycles_per_run=a.cycles)
     if a.data_regime == "markov":
         DATA.update(label_process="markov", signature_strength=0.5)
     results = run_study(a.out_dir, a.seeds, legs=tuple(a.legs),

@@ -65,18 +65,28 @@ def eval_classifier(model, xs, ys, bs: int, drop_last: bool,
     """Per-batch metrics then mean over batches (reference
     on_validation_epoch_end, classification_model.py:154-162)."""
     model.eval()
-    f1s, accs, losses = [], [], []
+    f1s, accs, losses, agoods, abads = [], [], [], [], []
     labels = ys if cond is None else cond
     for sl in _eval_batches(len(xs), bs, drop_last):
         x = torch.from_numpy(np.ascontiguousarray(xs[sl]))
         y = torch.from_numpy(labels[sl])
         logits = model(x) if cond is None else model(x, generate=False)
         preds = logits.argmax(-1).numpy()
+        yn = y.numpy()
         losses.append(float(F.cross_entropy(logits, y)))
-        accs.append(float(np.mean(preds == y.numpy())))
-        f1s.append(binary_f1(preds, y.numpy()))
+        accs.append(float(np.mean(preds == yn)))
+        f1s.append(binary_f1(preds, yn))
+        # per-class accuracies, 0 when the class is absent from the
+        # batch (classification_model.py:103-106) — the
+        # constant-predictor tripwire mirrored on the torch side
+        for cls, acc_l in ((1, agoods), (0, abads)):
+            n = float(np.sum(yn == cls))
+            acc_l.append(float(np.sum((preds == cls) & (yn == cls)) / n)
+                         if n > 0 else 0.0)
     return {"loss": float(np.mean(losses)), "acc_mean": float(np.mean(accs)),
-            "f1_score_mean": float(np.mean(f1s))}
+            "f1_score_mean": float(np.mean(f1s)),
+            "acc_good_mean": float(np.mean(agoods)),
+            "acc_bad_mean": float(np.mean(abads))}
 
 
 def _weighted_indices(rng: np.random.Generator, weights, n: int):
@@ -291,5 +301,8 @@ def train_transformer_multitask(model, gen_dm, class_dm, *, epoch_iter: int,
     gen_test = eval_gen(model, gen_dm.test, bs)
     return {"val/cl/f1_score": val["f1_score_mean"],
             "test/cl/f1_score": test["f1_score_mean"],
+            "test/cl/acc": test["acc_mean"],
+            "test/cl/acc_good": test["acc_good_mean"],
+            "test/cl/acc_bad": test["acc_bad_mean"],
             "val/gen/loss": gen_val["loss"],
             "test/gen/loss": gen_test["loss"]}

@@ -120,5 +120,11 @@ class TransformerClassTask(Task):
                                              rng=rng, generate=False)
         loss = self.model.loss_class(logits, cond)
         m = classification_metrics(logits, cond)
-        metrics = {"loss": loss, "acc": m["acc"], "f1_score": m["f1_score"]}
+        # acc_good/acc_bad are the constant-predictor tripwire: a head
+        # stuck predicting one class shows (1.0, 0.0) or (0.0, 1.0).
+        # The reference logs them for the standalone classifiers
+        # (model/classification_model.py:103-106); surfacing them here
+        # too makes "non-degenerate" checkable from the leg output.
+        metrics = {"loss": loss, "acc": m["acc"], "f1_score": m["f1_score"],
+                   "acc_good": m["acc_good"], "acc_bad": m["acc_bad"]}
         return loss, metrics, new_state
