@@ -53,6 +53,13 @@ def main():
         out = {"val/f1_score_mean": float(result.best_score),
                "test/f1_score_mean": float(
                    test_metrics["test/f1_score_mean"])}
+        # constant-predictor tripwire (ClassificationTask logs the full
+        # classification_metrics set incl. per-class accuracies; the
+        # trainer emits them batch-meaned under the raw metric name —
+        # suffix _mean here to pair with the torch twin's keys)
+        for k in ("acc", "acc_good", "acc_bad"):
+            if f"test/{k}" in test_metrics:
+                out[f"test/{k}_mean"] = float(test_metrics[f"test/{k}"])
     else:
         from vq_vae_transformer_arc_welding_tpu.cli import (
             train_transformer_mtasks as cli)

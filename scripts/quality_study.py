@@ -297,6 +297,10 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
                                lr=cfg["lr"], clip=cfg["clip"], seed=seed)
     th = {"val/f1_score_mean": tm["val/f1_score_mean"],
           "test/f1_score_mean": tm["test/f1_score_mean"]}
+    # constant-predictor tripwire (paired with cli_leg.py's jax keys)
+    for k in ("test/acc_mean", "test/acc_good_mean", "test/acc_bad_mean"):
+        if k in tm:
+            th[k] = tm[k]
     return {"jax": jx, "torch": th}
 
 

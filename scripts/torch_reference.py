@@ -134,7 +134,9 @@ def train_classifier(model, dm, *, epochs: int, lr: float, clip: float,
     return {"val/f1_score_mean": best_score,
             "val/acc_mean": val["acc_mean"],
             "test/f1_score_mean": test["f1_score_mean"],
-            "test/acc_mean": test["acc_mean"]}
+            "test/acc_mean": test["acc_mean"],
+            "test/acc_good_mean": test["acc_good_mean"],
+            "test/acc_bad_mean": test["acc_bad_mean"]}
 
 
 # ---------------------------------------------------------------------------
