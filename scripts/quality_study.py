@@ -86,21 +86,35 @@ TR = dict(n_cycles=10, d_model=192, blocks=4, heads=8, epoch_iter=3,
           gen_epochs=15, class_epochs=2, finetune_epochs=10, bs=16, lr=1e-3)
 
 
-def _jax_leg(cli: str, argv: list[str]) -> dict:
-    """Run one CLI leg in a TPU subprocess (scripts/cli_leg.py)."""
+def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
+             retries: int = 2) -> dict:
+    """Run one CLI leg in a TPU subprocess (scripts/cli_leg.py).
+
+    Timeout + retry like fullwidth_sweep.cli_leg: the tunneled TPU's
+    backend init intermittently stalls (~0.5% CPU for 20+ min; a fresh
+    process succeeds), and an unattended multi-seed study must not hang
+    its whole queue on one stalled leg."""
     import subprocess
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
-         "--cli", cli, "--argv-json", json.dumps(argv)],
-        capture_output=True, text=True, cwd=os.getcwd())
-    line = [ln for ln in proc.stdout.splitlines()
-            if ln.startswith("CLILEG_RESULT ")]
-    if proc.returncode != 0 or not line:
-        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
-        raise RuntimeError(f"cli_leg {cli} subprocess failed")
-    out = json.loads(line[-1][len("CLILEG_RESULT "):])
-    print(f"  jax {cli} leg backend: {out.pop('backend')}", flush=True)
-    return out
+    for attempt in range(retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
+                 "--cli", cli, "--argv-json", json.dumps(argv)],
+                capture_output=True, text=True, cwd=os.getcwd(),
+                timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"  jax {cli} leg timed out after {timeout_s}s "
+                  f"(attempt {attempt + 1}/{retries + 1})", flush=True)
+            continue
+        line = [ln for ln in proc.stdout.splitlines()
+                if ln.startswith("CLILEG_RESULT ")]
+        if proc.returncode != 0 or not line:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"cli_leg {cli} subprocess failed")
+        out = json.loads(line[-1][len("CLILEG_RESULT "):])
+        print(f"  jax {cli} leg backend: {out.pop('backend')}", flush=True)
+        return out
+    raise RuntimeError(f"cli_leg {cli} timed out {retries + 1} times")
 
 
 def _ids():
