@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--out-dir", default="/tmp/quality_ref_scale")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--regime", choices=["iid", "markov"], default="iid",
+                    help="'markov' = the learnable Study-C regime "
+                         "(bursty defects, signature_strength 0.5): on "
+                         "iid data the class head can only learn "
+                         "run-level base rates; on markov the "
+                         "next-cycle label is genuinely predictable "
+                         "(Bayes error ~= 1 - persistence)")
     args = ap.parse_args()
     out_json = args.out or os.path.join(args.out_dir, "ref_scale.json")
 
@@ -56,16 +63,19 @@ def main():
     os.makedirs(data_dir, exist_ok=True)
     csv = os.path.join(data_dir, "processed_asimow_dataset.csv")
     if not os.path.exists(csv):
+        extra = ({"label_process": "markov", "signature_strength": 0.5}
+                 if args.regime == "markov" else {})
         write_synthetic_csv(csv, n_cycles_per_run=DATA["n_cycles_per_run"],
                             extra_train_runs=DATA["extra_train_runs"],
-                            seed=DATA["seed"])
+                            seed=DATA["seed"], **extra)
 
     cwd = os.getcwd()
     os.chdir(args.out_dir)
     results = {"backend": jax.devices()[0].platform,
                "data": f"{DATA['n_cycles_per_run']} cycles/run, "
                        f"{DATA['extra_train_runs']} extra train runs, "
-                       f"seed {DATA['seed']}",
+                       f"seed {DATA['seed']}, regime {args.regime}",
+               "regime": args.regime,
                "seeds": {}}
     try:
         # one reference-default VQ-VAE (hidden 512, K 256, D 32, 8
@@ -96,11 +106,18 @@ def main():
                 "--vqvae-model", vq_ckpt,
                 "--data-dir", data_dir, "--seed", str(seed)])
             _, res = cli_tr.main(targs)
-            results["seeds"][str(seed)] = {
+            row = {
                 "test/cl/f1_score": float(
                     res["class_test"]["test/cl/f1_score"]),
                 "gen/loss": float(res["gen_test"]["test/loss"]),
             }
+            # constant-predictor tripwire: all-good scores F1 = 2p/(1+p)
+            # (~0.837 at p=0.72) — only acc_good AND acc_bad > 0
+            # demonstrates a learned head (train/tasks.py)
+            for k in ("test/cl/acc", "test/cl/acc_good", "test/cl/acc_bad"):
+                if k in res["class_test"]:
+                    row[k] = float(res["class_test"][k])
+            results["seeds"][str(seed)] = row
             with open(out_json, "w") as f:
                 json.dump(results, f, indent=2)
             print(json.dumps(results["seeds"][str(seed)]), flush=True)
