@@ -588,6 +588,28 @@ def write_quality_md(results, path, ref_scale=None):
             cls_note_lines.append(
                 f"- {label} `{metric}` per-seed (jax, torch): "
                 f"{[(round(a, 4), round(b, 4)) for a, b in pairs]}")
+    # constant-predictor tripwire per side: a leg predicting one class
+    # shows (acc_good, acc_bad) = (1, 0) or (0, 1); "learned" requires
+    # BOTH > 0 (F1 alone cannot tell: all-good scores 2p/(1+p) ~ 0.84)
+    for label, comp, metric, kind in specs:
+        if kind != "f1" or "test" not in metric:
+            continue
+        for side in ("jax", "torch"):
+            gk, bk = (("test/cl/acc_good", "test/cl/acc_bad")
+                      if comp == "transformer"
+                      else ("test/acc_good_mean", "test/acc_bad_mean"))
+            trip = [(results[s][comp][side].get(gk),
+                     results[s][comp][side].get(bk))
+                    for s in seeds if comp in results[s]
+                    and side in results[s][comp]]
+            trip = [(g, b) for g, b in trip if g is not None]
+            if trip:
+                n_learned = sum(g > 0 and b > 0 for g, b in trip)
+                cls_note_lines.append(
+                    f"- {label} [{side}] per-seed (acc_good, acc_bad): "
+                    f"{[(round(g, 3), round(b, 3)) for g, b in trip]} "
+                    f"— {n_learned}/{len(trip)} learned (both classes "
+                    "predicted)")
     cls_note = ("\n**Per-seed classifier outcomes** (attractor draws "
                 "visible):\n" + "\n".join(cls_note_lines) + "\n"
                 if cls_note_lines else "")
@@ -613,11 +635,21 @@ def write_quality_md(results, path, ref_scale=None):
                if "roundtrip" in results[s]), {})
     ref_md = ""
     if ref_scale:
+        def _trip(r):
+            g, b = r.get("test/cl/acc_good"), r.get("test/cl/acc_bad")
+            if g is None:
+                return " — "
+            return f" {g:.3f} / {b:.3f} "
         rs_rows = "\n".join(
-            f"| {s} | {r['test/cl/f1_score']:.4f} | {r['gen/loss']:.4f} |"
+            f"| {s} | {r['test/cl/f1_score']:.4f} | {r['gen/loss']:.4f} "
+            f"|{_trip(r)}|"
             for s, r in sorted(ref_scale["seeds"].items()))
-        n_nondeg = sum(r["test/cl/f1_score"] > 0.0
-                       for r in ref_scale["seeds"].values())
+        # "learned" = both classes predicted (tripwire); fall back to
+        # the old f1>0 criterion only for rows predating the tripwire
+        n_nondeg = sum(
+            (r["test/cl/acc_good"] > 0 and r["test/cl/acc_bad"] > 0)
+            if "test/cl/acc_good" in r else r["test/cl/f1_score"] > 0.0
+            for r in ref_scale["seeds"].values())
         ref_md = f"""
 ## JAX-only reference-scale training (TPU)
 
@@ -630,8 +662,8 @@ baseline at this scale (134 s/step — see note above); the short-
 trajectory bit-parity test at this exact config is the cross-stack
 anchor.
 
-| seed | `test/cl/f1_score` | `gen/loss` |
-|---|---|---|
+| seed | `test/cl/f1_score` | `gen/loss` | acc_good / acc_bad |
+|---|---|---|---|
 {rs_rows}
 
 {n_nondeg}/{len(ref_scale['seeds'])} seeds non-degenerate.
