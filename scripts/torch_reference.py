@@ -238,7 +238,9 @@ def _fit_transformer_stage(model, split, weights, *, gen: bool, epochs: int,
     opt = _transformer_optimizer(model, lr)
     rng = np.random.default_rng(seed)
     best_score, wait = None, 0
-    for _ in range(epochs):
+    import time as _time
+    for _ep in range(epochs):
+        _t0 = _time.time()
         model.train()
         idx = (_weighted_indices(rng, weights, len(split.x))
                if not gen else rng.permutation(len(split.x)))
@@ -260,6 +262,8 @@ def _fit_transformer_stage(model, split, weights, *, gen: bool, epochs: int,
                 torch.nn.utils.clip_grad_norm_(model.parameters(), clip)
                 opt.step()
                 opt.zero_grad()
+        msg = (f"  [torch {'gen' if gen else 'class'}] epoch {_ep} "
+               f"({_time.time() - _t0:.1f}s)")
         if monitor_class and val_split is not None:
             # early stopping only — the reference's finetune stage tests
             # with the weights at stop, not a best-ckpt reload
@@ -267,12 +271,16 @@ def _fit_transformer_stage(model, split, weights, *, gen: bool, epochs: int,
             vm = eval_classifier(model, val_split.x, None, bs, False,
                                  cond=val_split.cond)
             score = vm["f1_score_mean"]
+            msg += f" val/cl/f1={score:.4f}"
+            print(msg, flush=True)
             if best_score is None or score - best_score > 0.001:
                 best_score, wait = score, 0
             else:
                 wait += 1
                 if patience is not None and wait >= patience:
                     break
+        else:
+            print(msg, flush=True)
     return best_score
 
 
