@@ -71,3 +71,45 @@ def test_write_quality_md_renders_unrun_legs_as_not_run(tmp_path):
     # the transformer rows render as explicitly not run, 0 seeds
     assert any("Transformer" in ln and "not run" in ln
                for ln in text.splitlines())
+
+
+def test_write_quality_md_tripwire_learned_counts(tmp_path):
+    """Per-class accuracies flag constant predictors: a (1.0, 0.0) leg
+    must count as NOT learned, a (0.9, 0.4) leg as learned — F1 alone
+    can't tell them apart (all-good scores 2p/(1+p))."""
+    qs = _load("quality_study")
+    learned = {"val/f1_score_mean": 0.8, "test/f1_score_mean": 0.81,
+               "test/acc_good_mean": 0.9, "test/acc_bad_mean": 0.4}
+    constant = {"val/f1_score_mean": 0.8, "test/f1_score_mean": 0.84,
+                "test/acc_good_mean": 1.0, "test/acc_bad_mean": 0.0}
+    results = {0: {"mlp_raw": {"jax": dict(learned),
+                               "torch": dict(constant)}}}
+    out = str(tmp_path / "q.md")
+    qs.write_quality_md(results, out)
+    text = open(out).read()
+    assert "[jax] per-seed (acc_good, acc_bad)" in text
+    assert "1/1 learned" in text      # the jax side
+    assert "0/1 learned" in text      # the torch side (constant)
+
+
+def test_write_quality_md_ref_scale_tripwire(tmp_path):
+    """Ref-scale table: non-degeneracy counts by the tripwire when the
+    fields exist, falls back to f1>0 for pre-tripwire JSONs."""
+    qs = _load("quality_study")
+    rs = {"backend": "tpu", "data": "x",
+          "seeds": {"0": {"test/cl/f1_score": 0.84, "gen/loss": 1.5,
+                          "test/cl/acc_good": 1.0,
+                          "test/cl/acc_bad": 0.0},
+                    "1": {"test/cl/f1_score": 0.83, "gen/loss": 1.4,
+                          "test/cl/acc_good": 0.8,
+                          "test/cl/acc_bad": 0.6}}}
+    out = str(tmp_path / "q.md")
+    qs.write_quality_md({}, out, ref_scale=rs)
+    text = open(out).read()
+    assert "1/2 seeds non-degenerate" in text
+    assert "0.800 / 0.600" in text
+    # pre-tripwire JSON: f1>0 fallback
+    rs_old = {"backend": "tpu", "data": "x",
+              "seeds": {"0": {"test/cl/f1_score": 0.84, "gen/loss": 1.5}}}
+    qs.write_quality_md({}, out, ref_scale=rs_old)
+    assert "1/1 seeds non-degenerate" in open(out).read()
