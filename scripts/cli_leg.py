@@ -29,6 +29,38 @@ except Exception:
     pass
 
 
+def _backend_watchdog(timeout_s: float = 240.0):
+    """Exit fast (rc 3) if backend init stalls.
+
+    The tunneled TPU's init intermittently hangs (observed ~0.5% CPU for
+    20+ min; a fresh process succeeds). Callers retry on timeout, but a
+    2400s leg timeout wastes ~40 min per stall; detecting the stall in
+    the first minutes lets the retry fire immediately. jax.devices() in
+    a daemon thread + a watchdog: if init hasn't completed in
+    timeout_s, hard-exit with code 3 (os._exit — the stalled init
+    thread can't be interrupted)."""
+    import threading
+
+    done = threading.Event()
+
+    def _init():
+        try:
+            jax.devices()
+        finally:
+            done.set()
+
+    def _watch():
+        if not done.wait(timeout_s):
+            sys.stderr.write(
+                f"CLILEG_STALL backend init exceeded {timeout_s}s\n")
+            sys.stderr.flush()
+            os._exit(3)
+
+    threading.Thread(target=_init, daemon=True).start()
+    threading.Thread(target=_watch, daemon=True).start()
+    done.wait()  # block main until init completes (or _exit fires)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cli", required=True,
@@ -37,6 +69,7 @@ def main():
                     help="JSON list of CLI argv tokens")
     a = ap.parse_args()
     argv = json.loads(a.argv_json)
+    _backend_watchdog()
 
     if a.cli == "recon":
         from vq_vae_transformer_arc_welding_tpu.cli import (

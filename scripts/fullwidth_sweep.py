@@ -83,6 +83,11 @@ def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
             stdout = lf.read()
         line = [ln for ln in stdout.splitlines()
                 if ln.startswith("CLILEG_RESULT ")]
+        if proc.returncode == 3:
+            # cli_leg's backend watchdog: init stalled — retry fresh
+            print(f"  leg backend-init stall (attempt {attempt + 1}/"
+                  f"{retries + 1}, log: {logp})", flush=True)
+            continue
         if proc.returncode != 0 or not line:
             sys.stderr.write(stdout[-4000:])
             raise RuntimeError(f"cli_leg {cli} failed (log: {logp})")

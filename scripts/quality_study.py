@@ -108,6 +108,11 @@ def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
             continue
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith("CLILEG_RESULT ")]
+        if proc.returncode == 3:
+            # cli_leg's backend watchdog: init stalled — retry fresh
+            print(f"  jax {cli} leg backend-init stall "
+                  f"(attempt {attempt + 1}/{retries + 1})", flush=True)
+            continue
         if proc.returncode != 0 or not line:
             sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
             raise RuntimeError(f"cli_leg {cli} subprocess failed")
