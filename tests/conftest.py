@@ -34,6 +34,7 @@ _SLOW = {
     "test_dryrun_multichip_like_driver",
     "test_ts2vec_fit_and_encode",
     "test_use_all_gpus_data_parallel",
+    "test_tensor_parallel_cli",
     "test_dryrun_multichip_odd_device_count",
     "test_generate_kv_long_prompt_and_cropping",
     "test_vq_ema_shard_map_codebooks_identical",

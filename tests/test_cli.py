@@ -99,6 +99,31 @@ def test_use_all_gpus_data_parallel(workdir):
     assert np.isfinite(results["gen_test"]["test/loss"])
 
 
+def test_tensor_parallel_cli(workdir):
+    """--tensor-parallel 2 --use-all-gpus trains dp x tp on a
+    (4, 2) virtual mesh (Megatron param sharding via
+    parallel/sharding.py rules) and produces finite losses."""
+    from vq_vae_transformer_arc_welding_tpu.cli import (
+        train_transformer_mtasks as tm_cli)
+    ckpt = "model_checkpoints/VQ-VAE-Patch/VQ-VAE-Patch-best.ckpt"
+    args = tm_cli.build_parser().parse_args([
+        "--epoch_iter", "1", "--gen-epochs", "1", "--finetune-epochs", "1",
+        "--batch-size", "16", "--n-cycles", "2", "--d-model", "32",
+        "--n-heads", "4", "--n-blocks", "2", "--use-all-gpus",
+        "--tensor-parallel", "2", "--vqvae-model", ckpt, "--data-dir",
+        "data"])
+    run, results = tm_cli.main(args)
+    assert np.isfinite(results["gen_test"]["test/loss"])
+    assert np.isfinite(results["class_test"]["test/cl/f1_score"])
+
+
+def test_tensor_parallel_excludes_pipeline(workdir):
+    from vq_vae_transformer_arc_welding_tpu.cli import (
+        train_transformer_mtasks as tm_cli)
+    with pytest.raises(NotImplementedError):
+        tm_cli._maybe_mesh(True, pipeline_stages=2, tensor_parallel=2)
+
+
 def test_classification_only_mode(workdir):
     from vq_vae_transformer_arc_welding_tpu.cli import (
         train_transformer_mtasks as tm_cli)

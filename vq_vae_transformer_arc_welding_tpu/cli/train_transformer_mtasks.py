@@ -65,6 +65,12 @@ def build_parser():
     a("--pipeline-microbatches", type=int, default=0,
       help="Microbatches streamed through the pipeline (batch size "
            "must divide evenly; default = pipeline stages)")
+    a("--tensor-parallel", type=int, default=0,
+      help="Megatron-style tensor-parallel ways over a 'model' mesh "
+           "axis (parallel/sharding.py rules: qkv/up column-sharded, "
+           "projections row-sharded; XLA inserts the all-reduces). "
+           "Composes with --use-all-gpus data parallelism; mutually "
+           "exclusive with --pipeline-stages. 0/1 = off")
     a("--gen-epochs", type=int, default=10,
       help="Generation epochs per iteration")
     a("--data-dir", type=str, default=None,
@@ -95,21 +101,30 @@ def load_dataset(hparams, only_classify=False):
 
 
 def _make_trainer(epochs, logger, *, monitor=None, mode="max", patience=None,
-                  min_delta=0.001, seed=0, mesh=None):
+                  min_delta=0.001, seed=0, mesh=None, param_rules=None):
     return Trainer(max_epochs=epochs, logger=logger, monitor=monitor,
                    mode=mode, patience=patience, min_delta=min_delta,
-                   accumulate_grad_batches=5, seed=seed, mesh=mesh)
+                   accumulate_grad_batches=5, seed=seed, mesh=mesh,
+                   param_rules=param_rules)
 
 
-def _maybe_mesh(use_all_devices: bool, pipeline_stages: int = 0):
+def _maybe_mesh(use_all_devices: bool, pipeline_stages: int = 0,
+                tensor_parallel: int = 0):
     """--use-all-gpus == the reference's DDP switch
     (train_transformer_mtasks.py:149-152): data-parallel over every
     available accelerator via a mesh; None on a single device.
     --pipeline-stages > 1 adds a 'pipe' axis (GPipe over the block
     stack, parallel/pipeline.py); with --use-all-gpus the remaining
-    devices form the 'data' axis (dp x pp on one mesh)."""
+    devices form the 'data' axis (dp x pp on one mesh).
+    --tensor-parallel > 1 instead shards params over a 'model' axis
+    (Megatron rules, parallel/sharding.py), again composing with
+    --use-all-gpus on the 'data' axis."""
     import jax
     devices = jax.devices()
+    if pipeline_stages > 1 and tensor_parallel > 1:
+        raise NotImplementedError(
+            "--pipeline-stages and --tensor-parallel compose on "
+            "different mesh axes ('pipe' vs 'model'); pick one per run")
     if pipeline_stages > 1:
         if len(devices) < pipeline_stages:
             raise ValueError(
@@ -118,6 +133,14 @@ def _maybe_mesh(use_all_devices: bool, pipeline_stages: int = 0):
         from ..parallel.mesh import make_mesh_dp_pp
         n_data = (len(devices) // pipeline_stages if use_all_devices else 1)
         return make_mesh_dp_pp(n_data=n_data, n_pipe=pipeline_stages)
+    if tensor_parallel > 1:
+        if len(devices) < tensor_parallel:
+            raise ValueError(
+                f"--tensor-parallel {tensor_parallel} needs at least that "
+                f"many devices; {len(devices)} available")
+        from ..parallel.mesh import make_mesh
+        n_data = (len(devices) // tensor_parallel if use_all_devices else 1)
+        return make_mesh(n_data=n_data, n_model=tensor_parallel)
     if not use_all_devices or len(devices) < 2:
         return None
     from ..parallel.mesh import make_mesh
@@ -189,7 +212,13 @@ def main(hparams):
         class_h_bias=bool(hparams.use_class_head_bias),
         class_h_dropout=bool(hparams.use_class_head_dropout))
     pipe_stages = int(getattr(hparams, "pipeline_stages", 0) or 0)
-    mesh = _maybe_mesh(bool(hparams.use_all_gpus), pipe_stages)
+    tp_ways = int(getattr(hparams, "tensor_parallel", 0) or 0)
+    mesh = _maybe_mesh(bool(hparams.use_all_gpus), pipe_stages, tp_ways)
+    param_rules = None
+    if tp_ways > 1:
+        from ..parallel.sharding import transformer_tp_rules
+        param_rules = transformer_tp_rules
+        log.info(f"tensor-parallel mesh {dict(mesh.shape)}")
     if pipe_stages > 1:
         from ..parallel.pipeline import PipelinedDecoder
         n_micro = (int(getattr(hparams, "pipeline_microbatches", 0) or 0)
@@ -235,7 +264,8 @@ def main(hparams):
             no_early_stopping=bool(hparams.no_early_stopping),
             seed=hparams.seed,
             trainer=_make_trainer(hparams.class_epoch, logger,
-                                  seed=hparams.seed, mesh=mesh))
+                                  seed=hparams.seed, mesh=mesh,
+                                  param_rules=param_rules))
     else:
         # tasks and trainers are created once and reused across the
         # alternating schedule so compiled epochs are shared (each
@@ -244,9 +274,11 @@ def main(hparams):
         gen_task = TransformerGenTask(run.model)
         class_task = TransformerClassTask(run.model)
         gen_trainer = _make_trainer(hparams.gen_epochs, logger,
-                                    seed=hparams.seed, mesh=mesh)
+                                    seed=hparams.seed, mesh=mesh,
+                                    param_rules=param_rules)
         class_trainer = _make_trainer(hparams.class_epoch, logger,
-                                      seed=hparams.seed + 1, mesh=mesh)
+                                      seed=hparams.seed + 1, mesh=mesh,
+                                      param_rules=param_rules)
         for epoch in range(hparams.epoch_iter):
             log.info("Genrerating stage")
             gen_trainer.seed = hparams.seed + epoch
