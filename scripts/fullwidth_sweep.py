@@ -134,7 +134,7 @@ def main():
                     help="'markov' = the Study-C learnable regime "
                          "(bursty defects, signature_strength 0.5) — "
                          "on iid data the class task's Bayes error is "
-                         "~25% so 'escape' can only mean leaving the "
+                         "~25%% so 'escape' can only mean leaving the "
                          "constant predictor, not learning; on markov "
                          "a genuinely learned head is measurable "
                          "(acc_good AND acc_bad > 0)")
