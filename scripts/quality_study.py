@@ -86,6 +86,40 @@ TR = dict(n_cycles=10, d_model=192, blocks=4, heads=8, epoch_iter=3,
           gen_epochs=15, class_epochs=2, finetune_epochs=10, bs=16, lr=1e-3)
 
 
+def merge_write(path, data):
+    """Merge ``data`` into the JSON at ``path`` and replace atomically.
+
+    Two studies may share an out_dir (e.g. the jax legs on the TPU
+    while the torch halves run on the CPU), so fold what is already on
+    disk in first — side-aware per (seed, component): populated
+    jax/torch sides survive, the in-memory legs win on conflict. A
+    torn/absent file on read merges as empty; os.replace keeps
+    concurrent readers from ever seeing a partial write.
+    """
+    merged = {}
+    try:
+        with open(path) as f:
+            on_disk = json.load(f)
+    except (OSError, ValueError):
+        on_disk = {}
+    for src in (on_disk, {str(k): v for k, v in data.items()}):
+        for seed_str, comps in src.items():
+            merged.setdefault(seed_str, {})
+            for comp, res in comps.items():
+                prev = merged[seed_str].get(comp)
+                if (isinstance(prev, dict) and isinstance(res, dict)
+                        and set(res) <= {"jax", "torch"}):
+                    for side, vals in res.items():
+                        if vals:
+                            prev[side] = vals
+                else:
+                    merged[seed_str][comp] = res
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=2, default=float)
+    os.replace(tmp, path)
+
+
 def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
              retries: int = 2) -> dict:
     """Run one CLI leg in a TPU subprocess (scripts/cli_leg.py).
@@ -421,8 +455,7 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch"),
         # still leaves its completed legs harvestable
         partial = dict(all_results)
         partial[seed] = res
-        with open(os.path.join(out_dir, "results_partial.json"), "w") as f:
-            json.dump(partial, f, indent=2, default=float)
+        merge_write(os.path.join(out_dir, "results_partial.json"), partial)
 
     import time as _time
     t_start = _time.time()
@@ -513,8 +546,7 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch"),
                                                        sides=tr_sides)
                 _flush_partial(seed, res)
             all_results[seed] = res
-            with open(os.path.join(out_dir, "results.json"), "w") as f:
-                json.dump(all_results, f, indent=2, default=float)
+            merge_write(os.path.join(out_dir, "results.json"), all_results)
     finally:
         os.chdir(cwd)
     return all_results

@@ -113,3 +113,36 @@ def test_write_quality_md_ref_scale_tripwire(tmp_path):
               "seeds": {"0": {"test/cl/f1_score": 0.84, "gen/loss": 1.5}}}
     qs.write_quality_md({}, out, ref_scale=rs_old)
     assert "1/1 seeds non-degenerate" in open(out).read()
+
+
+def test_merge_write_accumulates_concurrent_sides(tmp_path):
+    """Two studies sharing an out_dir (jax legs on TPU, torch halves on
+    CPU) each rewrite results.json from their own in-memory dict;
+    merge_write must fold the other side's on-disk legs in rather than
+    clobber them, and the in-memory legs must win on conflict."""
+    qs = _load("quality_study")
+    p = str(tmp_path / "results.json")
+    # torch-side process writes first
+    qs.merge_write(p, {0: {"transformer": {"jax": {}, "torch": {"f": 2.0}}}})
+    # jax-side process (knows nothing of the torch legs) writes later,
+    # with a stale torch={} for the same component and a new seed
+    qs.merge_write(p, {0: {"transformer": {"jax": {"f": 1.0}, "torch": {}}},
+                       1: {"vqvae": {"jax": {"l": 0.5}, "torch": {}}}})
+    with open(p) as f:
+        got = json.load(f)
+    assert got["0"]["transformer"] == {"jax": {"f": 1.0},
+                                       "torch": {"f": 2.0}}
+    assert got["1"]["vqvae"] == {"jax": {"l": 0.5}, "torch": {}}
+    # re-run of a leg wins over the on-disk value
+    qs.merge_write(p, {0: {"transformer": {"jax": {"f": 3.0}, "torch": {}}}})
+    with open(p) as f:
+        got = json.load(f)
+    assert got["0"]["transformer"]["jax"] == {"f": 3.0}
+    assert got["0"]["transformer"]["torch"] == {"f": 2.0}
+    # a torn file on disk merges as empty instead of raising
+    with open(p, "w") as f:
+        f.write('{"0": {"transfo')
+    qs.merge_write(p, {2: {"mlp_raw": {"jax": {"f": 0.1}, "torch": {}}}})
+    with open(p) as f:
+        got = json.load(f)
+    assert got["2"]["mlp_raw"]["jax"] == {"f": 0.1}
