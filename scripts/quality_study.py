@@ -175,7 +175,7 @@ def _asimow_dm(task, n_cycles, bs, data_dir):
 
 
 def study_vqvae(data_dir, seed, train_torch=True):
-    leg = _jax_leg("recon", [
+    leg = _jax_leg("recon", timeout_s=1800, argv=[
         "--epochs", str(VQ["epochs"]), "--batch-size", str(VQ["bs"]),
         "--num-embeddings", str(VQ["k"]), "--embedding-dim", str(VQ["d"]),
         "--hidden-dim", str(VQ["hidden"]), "--n-resblocks", str(VQ["n_res"]),
@@ -294,7 +294,11 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
             "--data-dir", data_dir, "--seed", str(seed)]
     if vq_ckpt is not None:
         argv += ["--dataset", "latent_vq_vae", "--vqvae-model", vq_ckpt]
-    jx = _jax_leg("class", argv) if "jax" in sides else {}
+    # classifier legs finish in ~400 s on the TPU; a tight timeout
+    # turns a mid-run tunnel stall into a fast retry instead of a
+    # 1 h hole in the queue (the rc-3 watchdog only covers init)
+    jx = (_jax_leg("class", argv, timeout_s=1500)
+          if "jax" in sides else {})
     if "torch" not in sides:
         return {"jax": jx, "torch": {}}
 
