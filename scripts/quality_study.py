@@ -120,35 +120,78 @@ def merge_write(path, data):
     os.replace(tmp, path)
 
 
+def _run_with_inactivity_kill(cmd, timeout_s, inactivity_s, cwd):
+    """subprocess.run(capture_output) variant that also kills on OUTPUT
+    SILENCE: the tunneled TPU intermittently stalls MID-RUN (~1% CPU,
+    futex wait), not just at backend init, and a hard wall-clock
+    timeout sized for the slowest healthy leg makes each stall cost
+    that full budget. The CLI legs print per-epoch lines every few
+    seconds, so silence >> the epoch cadence is a stall. Returns
+    (returncode, stdout, stderr); rc -9 after a kill."""
+    import subprocess
+    import threading
+    import time as _t
+
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True, cwd=cwd)
+    last = [_t.monotonic()]
+    chunks = {"out": [], "err": []}
+
+    def _drain(stream, key):
+        for ln in stream:
+            chunks[key].append(ln)
+            last[0] = _t.monotonic()
+
+    threads = [threading.Thread(target=_drain, args=(proc.stdout, "out"),
+                                daemon=True),
+               threading.Thread(target=_drain, args=(proc.stderr, "err"),
+                                daemon=True)]
+    for t in threads:
+        t.start()
+    t_start = _t.monotonic()
+    timed_out = False
+    while proc.poll() is None:
+        now = _t.monotonic()
+        if now - t_start > timeout_s or now - last[0] > inactivity_s:
+            timed_out = True
+            proc.kill()
+            break
+        _t.sleep(2)
+    proc.wait()
+    for t in threads:
+        t.join(timeout=10)
+    rc = -9 if timed_out else proc.returncode
+    return rc, "".join(chunks["out"]), "".join(chunks["err"])
+
+
 def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
-             retries: int = 2) -> dict:
+             retries: int = 2, inactivity_s: int = 300) -> dict:
     """Run one CLI leg in a TPU subprocess (scripts/cli_leg.py).
 
-    Timeout + retry like fullwidth_sweep.cli_leg: the tunneled TPU's
-    backend init intermittently stalls (~0.5% CPU for 20+ min; a fresh
-    process succeeds), and an unattended multi-seed study must not hang
-    its whole queue on one stalled leg."""
-    import subprocess
+    Timeout + retry like fullwidth_sweep.cli_leg, plus an output-
+    inactivity kill: the tunneled TPU's backend intermittently stalls
+    (~0.5-1% CPU; a fresh process succeeds) both at init and mid-run,
+    and an unattended multi-seed study must not hang its whole queue
+    on one stalled leg — nor pay the full wall-clock timeout per
+    stall when the per-epoch output cadence exposes it in minutes."""
     for attempt in range(retries + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
-                 "--cli", cli, "--argv-json", json.dumps(argv)],
-                capture_output=True, text=True, cwd=os.getcwd(),
-                timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            print(f"  jax {cli} leg timed out after {timeout_s}s "
+        rc, out_s, err_s = _run_with_inactivity_kill(
+            [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
+             "--cli", cli, "--argv-json", json.dumps(argv)],
+            timeout_s, inactivity_s, os.getcwd())
+        if rc == -9:
+            print(f"  jax {cli} leg stalled/timed out "
                   f"(attempt {attempt + 1}/{retries + 1})", flush=True)
             continue
-        line = [ln for ln in proc.stdout.splitlines()
+        line = [ln.strip() for ln in out_s.splitlines()
                 if ln.startswith("CLILEG_RESULT ")]
-        if proc.returncode == 3:
+        if rc == 3:
             # cli_leg's backend watchdog: init stalled — retry fresh
             print(f"  jax {cli} leg backend-init stall "
                   f"(attempt {attempt + 1}/{retries + 1})", flush=True)
             continue
-        if proc.returncode != 0 or not line:
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+        if rc != 0 or not line:
+            sys.stderr.write(out_s[-2000:] + err_s[-4000:])
             raise RuntimeError(f"cli_leg {cli} subprocess failed")
         out = json.loads(line[-1][len("CLILEG_RESULT "):])
         print(f"  jax {cli} leg backend: {out.pop('backend')}", flush=True)
