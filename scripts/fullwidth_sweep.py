@@ -31,6 +31,7 @@ import argparse
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
 import time
@@ -98,13 +99,23 @@ def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
 
 
 def ensure_vq(out_dir: str, data_dir: str, seed: int = 0) -> str:
-    """Train (or reuse) the seeded reduced-config VQ leg; pin sentinel."""
+    """Train (or reuse) the seeded reduced-config VQ leg; pin sentinel.
+
+    Pins an immutable per-seed COPY, not the CLI's reused
+    best-checkpoint path (whose bytes any later VQ leg in the same
+    out_dir would overwrite — the round-4 quality_study pairing bug;
+    this sweep trains a single VQ per out_dir so it was safe in
+    practice, hardened for the same reason)."""
     sentinel = os.path.join(out_dir, f"vq_ckpt_seed{seed}.txt")
+    pinned = os.path.join(out_dir, f"vq_best_seed{seed}.ckpt")
     if os.path.exists(sentinel):
         cand = open(sentinel).read().strip()
-        if os.path.exists(cand):
+        if cand == pinned and os.path.exists(cand):
             print(f"reusing pinned VQ ckpt {cand}", flush=True)
             return cand
+        if os.path.exists(cand):
+            print(f"IGNORING legacy sentinel {cand} (mutable path) — "
+                  "retraining VQ", flush=True)
     print("=== VQ-VAE leg ===", flush=True)
     leg = cli_leg("recon", [
         "--epochs", str(VQ["epochs"]), "--batch-size", str(VQ["bs"]),
@@ -113,10 +124,10 @@ def ensure_vq(out_dir: str, data_dir: str, seed: int = 0) -> str:
         "--patch-size", str(VQ["patch"]), "--dropout-p", str(VQ["dropout"]),
         "--learning-rate", str(VQ["lr"]), "--clipping-value", str(VQ["clip"]),
         "--data-dir", data_dir, "--seed", str(seed)])
-    ckpt = leg["best_ckpt_path"]
+    shutil.copyfile(leg["best_ckpt_path"], pinned)
     with open(sentinel, "w") as f:
-        f.write(ckpt)
-    return ckpt
+        f.write(pinned)
+    return pinned
 
 
 def main():

@@ -86,6 +86,54 @@ TR = dict(n_cycles=10, d_model=192, blocks=4, heads=8, epoch_iter=3,
           gen_epochs=15, class_epochs=2, finetune_epochs=10, bs=16, lr=1e-3)
 
 
+def vq_sha256(path):
+    """Audit hash of the VQ checkpoint a leg consumes.
+
+    Recorded inside each side's result dict (`vq_ckpt_sha256`) so that
+    a paired row can be verified post-hoc to have trained both stacks
+    on the SAME frozen VQ-VAE. Added after the round-4 pairing bug:
+    the sentinel used to pin the CLI's fixed best-checkpoint PATH,
+    whose bytes a later seed's VQ leg silently overwrote."""
+    import hashlib
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def resolve_pinned_vq(out_dir, seed):
+    """Return the per-seed pinned VQ checkpoint path, or None.
+
+    Trusts ONLY a sentinel that points at the per-seed immutable copy
+    (`vq_best_seed<seed>.ckpt`). Legacy sentinels pinned the CLI's
+    reused best-checkpoint path, whose bytes every later seed's VQ leg
+    overwrote — the round-4 pairing bug (affected split-side rows were
+    re-run; see QUALITY.md)."""
+    sentinel = os.path.join(out_dir, f"vq_ckpt_seed{seed}.txt")
+    pinned = os.path.join(out_dir, f"vq_best_seed{seed}.ckpt")
+    if not os.path.exists(sentinel):
+        return None
+    cand = open(sentinel).read().strip()
+    if cand == pinned and os.path.exists(cand):
+        return cand
+    if os.path.exists(cand):
+        print(f"=== seed {seed}: IGNORING legacy sentinel {cand} "
+              f"(mutable path) — retraining VQ ===", flush=True)
+    return None
+
+
+def pin_vq(out_dir, seed, fresh_ckpt):
+    """Copy a freshly-trained VQ checkpoint to the per-seed immutable
+    path and point the sentinel at it. Returns the pinned path."""
+    import shutil
+    pinned = os.path.join(out_dir, f"vq_best_seed{seed}.ckpt")
+    shutil.copyfile(fresh_ckpt, pinned)
+    with open(os.path.join(out_dir, f"vq_ckpt_seed{seed}.txt"), "w") as f:
+        f.write(pinned)
+    return pinned
+
+
 def merge_write(path, data):
     """Merge ``data`` into the JSON at ``path`` and replace atomically.
 
@@ -229,7 +277,8 @@ def study_vqvae(data_dir, seed, train_torch=True):
     best_ckpt_path = leg.pop("best_ckpt_path")
     jx = {"val/loss": leg["val/loss"],
           "test/loss": leg["test/loss"],
-          "test/recon_error": leg["test/recon_error"]}
+          "test/recon_error": leg["test/recon_error"],
+          "vq_ckpt_sha256": vq_sha256(best_ckpt_path)}
 
     if not train_torch:
         # torch-twin VQ training skipped (legs selection): the jax leg
@@ -340,8 +389,13 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
     # classifier legs finish in ~400 s on the TPU; a tight timeout
     # turns a mid-run tunnel stall into a fast retry instead of a
     # 1 h hole in the queue (the rc-3 watchdog only covers init)
+    sha_pre = vq_sha256(vq_ckpt) if vq_ckpt is not None else None
     jx = (_jax_leg("class", argv, timeout_s=1500)
           if "jax" in sides else {})
+    if jx and sha_pre is not None:
+        assert vq_sha256(vq_ckpt) == sha_pre, \
+            f"VQ ckpt {vq_ckpt} mutated during the jax leg"
+        jx["vq_ckpt_sha256"] = sha_pre
     if "torch" not in sides:
         return {"jax": jx, "torch": {}}
 
@@ -401,6 +455,10 @@ def study_classifier(name, cfg, data_dir, seed, vq_ckpt=None,
     for k in ("test/acc_mean", "test/acc_good_mean", "test/acc_bad_mean"):
         if k in tm:
             th[k] = tm[k]
+    if vq_ckpt is not None:
+        assert vq_sha256(vq_ckpt) == sha_pre, \
+            f"VQ ckpt {vq_ckpt} mutated during the torch leg"
+        th["vq_ckpt_sha256"] = sha_pre
     return {"jax": jx, "torch": th}
 
 
@@ -412,6 +470,7 @@ def study_transformer(data_dir, seed, vq_ckpt, sides=("jax", "torch")):
     splitting across runs must reuse the out_dir so the sentinel-pinned
     checkpoint pairs the latent datasets; merge halves with
     scripts/merge_quality_results.py (side-aware)."""
+    sha_pre = vq_sha256(vq_ckpt)
     jx = {}
     if "jax" in sides:
         jx = _jax_leg("transformer", [
@@ -424,6 +483,10 @@ def study_transformer(data_dir, seed, vq_ckpt, sides=("jax", "torch")):
             "--finetune-epochs", str(TR["finetune_epochs"]),
             "--vqvae-model", vq_ckpt,
             "--data-dir", data_dir, "--seed", str(seed)])
+    if jx:
+        assert vq_sha256(vq_ckpt) == sha_pre, \
+            f"VQ ckpt {vq_ckpt} mutated during the jax leg"
+        jx["vq_ckpt_sha256"] = sha_pre
     if "torch" not in sides:
         return {"jax": jx, "torch": {}}
 
@@ -471,6 +534,9 @@ def study_transformer(data_dir, seed, vq_ckpt, sides=("jax", "torch")):
     for k in ("test/cl/acc", "test/cl/acc_good", "test/cl/acc_bad"):
         if k in tm:
             th[k] = tm[k]
+    assert vq_sha256(vq_ckpt) == sha_pre, \
+        f"VQ ckpt {vq_ckpt} mutated during the torch leg"
+    th["vq_ckpt_sha256"] = sha_pre
     return {"jax": jx, "torch": th}
 
 
@@ -517,14 +583,11 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch"),
             # split transformer sides across runs must pair on the SAME
             # trained VQ checkpoint (different backends train different
             # VQs): a sentinel written by the first run pins it
-            sentinel = os.path.join(out_dir, f"vq_ckpt_seed{seed}.txt")
-            jax_ckpt = None
-            if os.path.exists(sentinel):
-                cand = open(sentinel).read().strip()
-                if os.path.exists(cand):
-                    jax_ckpt = cand
-                    print(f"=== seed {seed}: reusing pinned VQ ckpt "
-                          f"{cand} ===", flush=True)
+            jax_ckpt = resolve_pinned_vq(out_dir, seed)
+            if jax_ckpt is not None:
+                print(f"=== seed {seed}: reusing pinned VQ ckpt "
+                      f"{jax_ckpt} (sha {vq_sha256(jax_ckpt)[:12]}) ===",
+                      flush=True)
             torch_twin = recon_dm = None
             needs_ckpt = bool({"vqvae", "mlp_latent", "transformer"}
                               & set(legs))
@@ -545,9 +608,14 @@ def run_study(out_dir, seeds, legs=ALL_LEGS, tr_sides=("jax", "torch"),
                           f"ckpt {jax_ckpt} still feeds downstream legs ===",
                           flush=True)
                 else:
-                    jax_ckpt = fresh_ckpt
-                    with open(sentinel, "w") as f:
-                        f.write(jax_ckpt)
+                    # copy to the per-seed immutable path and pin THAT:
+                    # the CLI reuses one best-checkpoint path, so the
+                    # fresh file's bytes only survive until the next
+                    # seed's VQ leg
+                    jax_ckpt = pin_vq(out_dir, seed, fresh_ckpt)
+                    print(f"=== seed {seed}: pinned VQ ckpt {jax_ckpt} "
+                          f"(sha {vq_sha256(jax_ckpt)[:12]}) ===",
+                          flush=True)
             if seed == seeds[0] and torch_twin is not None:
                 res["roundtrip"] = roundtrip_checks(
                     jax_ckpt, torch_twin, recon_dm, out_dir)

@@ -146,3 +146,35 @@ def test_merge_write_accumulates_concurrent_sides(tmp_path):
     with open(p) as f:
         got = json.load(f)
     assert got["2"]["mlp_raw"]["jax"] == {"f": 0.1}
+
+
+def test_vq_pinning_is_per_seed_immutable(tmp_path):
+    """The sentinel must pin a per-seed COPY of the VQ checkpoint, not
+    the CLI's reused best-checkpoint path: a later seed's VQ leg
+    overwrites that path's bytes, silently breaking the pairing of any
+    split-side row whose two halves straddle it (round-4 bug)."""
+    qs = _load("quality_study")
+    out = str(tmp_path)
+    best = tmp_path / "model_checkpoints" / "VQ-VAE-Patch-best.ckpt"
+    best.parent.mkdir(parents=True)
+
+    # seed 0 trains; the harness pins an immutable copy
+    best.write_bytes(b"seed0-weights")
+    pinned0 = qs.pin_vq(out, 0, str(best))
+    assert qs.resolve_pinned_vq(out, 0) == pinned0
+
+    # seed 1's VQ leg overwrites the CLI path — the pinned copy for
+    # seed 0 must be unaffected
+    best.write_bytes(b"seed1-weights")
+    pinned1 = qs.pin_vq(out, 1, str(best))
+    assert open(pinned0, "rb").read() == b"seed0-weights"
+    assert open(pinned1, "rb").read() == b"seed1-weights"
+    assert qs.vq_sha256(pinned0) != qs.vq_sha256(pinned1)
+
+    # a LEGACY sentinel pointing at the mutable CLI path is rejected
+    with open(os.path.join(out, "vq_ckpt_seed2.txt"), "w") as f:
+        f.write(str(best))
+    assert qs.resolve_pinned_vq(out, 2) is None
+
+    # missing sentinel resolves to None
+    assert qs.resolve_pinned_vq(out, 3) is None
