@@ -766,6 +766,36 @@ def write_quality_md(results, path, ref_scale=None):
                 "visible):\n" + "\n".join(cls_note_lines) + "\n"
                 if cls_note_lines else "")
 
+    # VQ-pairing audit: every leg that consumed a VQ checkpoint records
+    # its sha256 (post round-4 pairing bug); a paired row is only valid
+    # when both sides hash-match. Surface the audit in the report.
+    pair_lines = []
+    for comp in ("vqvae", "mlp_latent", "transformer"):
+        matched = mismatched = unhashed = 0
+        for s in seeds:
+            if comp not in results[s]:
+                continue
+            jh = results[s][comp].get("jax", {}).get("vq_ckpt_sha256")
+            th = results[s][comp].get("torch", {}).get("vq_ckpt_sha256")
+            if not results[s][comp].get("jax") or \
+                    not results[s][comp].get("torch"):
+                continue  # single-sided so far — nothing to pair
+            if jh is None or th is None:
+                unhashed += 1
+            elif jh == th:
+                matched += 1
+            else:
+                mismatched += 1
+        if matched + mismatched + unhashed:
+            flag = (" **MISMATCH — INVALID PAIRS**" if mismatched else "")
+            pair_lines.append(
+                f"- {comp}: {matched} hash-paired, {mismatched} "
+                f"mismatched, {unhashed} pre-hash legs{flag}")
+    pair_note = ("\n**VQ-pairing audit** (both sides trained on the "
+                 "same frozen VQ, by sha256):\n"
+                 + "\n".join(pair_lines) + "\n" if pair_lines else "")
+    cls_note += pair_note
+
     tf1 = [(results[s]["transformer"]["jax"]["test/cl/f1_score"],
             results[s]["transformer"]["torch"]["test/cl/f1_score"])
            for s in seeds if "transformer" in results[s]

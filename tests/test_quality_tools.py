@@ -178,3 +178,29 @@ def test_vq_pinning_is_per_seed_immutable(tmp_path):
 
     # missing sentinel resolves to None
     assert qs.resolve_pinned_vq(out, 3) is None
+
+
+def test_write_quality_md_renders_vq_pairing_audit(tmp_path):
+    """Rows whose two sides carry vq_ckpt_sha256 render as hash-paired;
+    differing hashes flag the row as invalid."""
+    qs = _load("quality_study")
+    res = {
+        0: {"mlp_latent": {"jax": {"test/f1_score_mean": 0.8,
+                                   "val/f1_score_mean": 0.8,
+                                   "vq_ckpt_sha256": "aaa"},
+                           "torch": {"test/f1_score_mean": 0.8,
+                                     "val/f1_score_mean": 0.8,
+                                     "vq_ckpt_sha256": "aaa"}}},
+        1: {"mlp_latent": {"jax": {"test/f1_score_mean": 0.8,
+                                   "val/f1_score_mean": 0.8,
+                                   "vq_ckpt_sha256": "aaa"},
+                           "torch": {"test/f1_score_mean": 0.8,
+                                     "val/f1_score_mean": 0.8,
+                                     "vq_ckpt_sha256": "bbb"}}},
+    }
+    out = str(tmp_path / "q.md")
+    qs.write_quality_md(res, out)
+    text = open(out).read()
+    assert "VQ-pairing audit" in text
+    assert "1 hash-paired, 1 mismatched" in text
+    assert "MISMATCH" in text
