@@ -65,6 +65,7 @@ _SLOW = {
     "test_artifact_roundtrip_f32",
     "test_artifact_roundtrip_int8_no_recalibration",
     "test_score_quality_cli",
+    "test_latent_module_depends_on_vq_params",
 }
 
 

@@ -172,6 +172,35 @@ def test_latent_module_tasks(data_dir, task, xdtype):
         assert dm.train.x.max() < 8 + 2 or task.startswith("autoregressive")
 
 
+def test_latent_module_depends_on_vq_params(data_dir):
+    """Latent materialization must be a pure function of the frozen VQ
+    checkpoint's CONTENTS: different codebooks -> different token
+    datasets, same codebook -> bit-identical ones. Guards against any
+    future disk/memory cache keyed on checkpoint *identity* (path or
+    model_id) rather than contents — the failure mode that would have
+    silently invalidated the round-4 VQ-pairing re-runs (QUALITY.md,
+    pairing-bug section; reference latentspace_dataloader.py:21-26
+    caches by model_id and is vulnerable to exactly this)."""
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    model = VQVAEPatch(hidden_dim=16, input_dim=2, num_embeddings=8,
+                       embedding_dim=4, n_resblocks=1, learning_rate=1e-3,
+                       batch_norm=False)
+    ids = get_val_test_ids()
+    kw = dict(task="autoregressive_ids", n_cycles=2,
+              val_data_ids=[DataSplitId(*v) for v in ids["val_ids"]],
+              test_data_ids=[DataSplitId(*v) for v in ids["test_ids"]],
+              batch_size=8, data_directory_path=data_dir)
+    xs = []
+    for seed in (0, 1, 0):
+        params, state = model.init(seed)
+        dm = LatentPredDataModule((model, params, state), **kw)
+        dm.setup()
+        xs.append(np.asarray(dm.train.x))
+    assert (xs[0] != xs[1]).any(), \
+        "different VQ params produced identical token datasets"
+    np.testing.assert_array_equal(xs[0], xs[2])
+
+
 def test_synthetic_labels_have_signal():
     vi, labels, _, _ = make_synthetic_arrays(n_cycles_per_run=40, seed=1)
     good = vi[labels == 1].std(axis=(0, 1))
