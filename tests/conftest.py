@@ -65,7 +65,9 @@ _SLOW = {
     "test_artifact_roundtrip_f32",
     "test_artifact_roundtrip_int8_no_recalibration",
     "test_score_quality_cli",
-    "test_latent_module_depends_on_vq_params",
+    # NOT slow-marked: test_latent_module_depends_on_vq_params (~6 s) is
+    # the regression guard for content-keyed latent caching and must run
+    # in the fast lane (ADVICE r4 #3)
 }
 
 
