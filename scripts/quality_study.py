@@ -168,7 +168,7 @@ def merge_write(path, data):
     os.replace(tmp, path)
 
 
-def _run_with_inactivity_kill(cmd, timeout_s, inactivity_s, cwd):
+def _run_with_inactivity_kill(cmd, timeout_s, inactivity_s, cwd, env=None):
     """subprocess.run(capture_output) variant that also kills on OUTPUT
     SILENCE: the tunneled TPU intermittently stalls MID-RUN (~1% CPU,
     futex wait), not just at backend init, and a hard wall-clock
@@ -181,7 +181,8 @@ def _run_with_inactivity_kill(cmd, timeout_s, inactivity_s, cwd):
     import time as _t
 
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.PIPE, text=True, cwd=cwd)
+                            stderr=subprocess.PIPE, text=True, cwd=cwd,
+                            env=env)
     last = [_t.monotonic()]
     chunks = {"out": [], "err": []}
 
@@ -221,30 +222,55 @@ def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
     (~0.5-1% CPU; a fresh process succeeds) both at init and mid-run,
     and an unattended multi-seed study must not hang its whole queue
     on one stalled leg — nor pay the full wall-clock timeout per
-    stall when the per-epoch output cadence exposes it in minutes."""
-    for attempt in range(retries + 1):
+    stall when the per-epoch output cadence exposes it in minutes.
+
+    If every default-backend attempt stalls (a TPU-tunnel OUTAGE, not
+    a transient), one final attempt runs the leg on the CPU backend
+    (JAX_PLATFORMS=cpu, relaxed timeouts — CPU legs are ~5-10x
+    slower) instead of aborting the whole study and burning the rest
+    of its queue, the failure mode that killed round-4 chain steps 3
+    and 5. The TPU<->CPU jax-leg equivalence is measured
+    (QUALITY.md "TPU<->CPU backend bridge": per-seed F1 deltas
+    bounded by the attractor spread, mean ~0); a fallback leg
+    records `backend: cpu` in its result row so tables can flag it."""
+    attempts = [(None, timeout_s, inactivity_s)] * (retries + 1)
+    attempts.append(("cpu", max(timeout_s * 6, 7200),
+                     max(inactivity_s * 4, 1200)))
+    for attempt, (platform, t_s, inact_s) in enumerate(attempts):
+        env = None
+        if platform is not None:
+            env = dict(os.environ, JAX_PLATFORMS=platform)
+            print(f"  jax {cli} leg: default backend exhausted "
+                  f"{retries + 1} attempts — falling back to "
+                  f"{platform} (recorded in the result row)", flush=True)
         rc, out_s, err_s = _run_with_inactivity_kill(
             [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
              "--cli", cli, "--argv-json", json.dumps(argv)],
-            timeout_s, inactivity_s, os.getcwd())
+            t_s, inact_s, os.getcwd(), env=env)
         if rc == -9:
             print(f"  jax {cli} leg stalled/timed out "
-                  f"(attempt {attempt + 1}/{retries + 1})", flush=True)
+                  f"(attempt {attempt + 1}/{len(attempts)})", flush=True)
             continue
         line = [ln.strip() for ln in out_s.splitlines()
                 if ln.startswith("CLILEG_RESULT ")]
         if rc == 3:
             # cli_leg's backend watchdog: init stalled — retry fresh
             print(f"  jax {cli} leg backend-init stall "
-                  f"(attempt {attempt + 1}/{retries + 1})", flush=True)
+                  f"(attempt {attempt + 1}/{len(attempts)})", flush=True)
             continue
         if rc != 0 or not line:
             sys.stderr.write(out_s[-2000:] + err_s[-4000:])
             raise RuntimeError(f"cli_leg {cli} subprocess failed")
         out = json.loads(line[-1][len("CLILEG_RESULT "):])
-        print(f"  jax {cli} leg backend: {out.pop('backend')}", flush=True)
+        backend = out.pop("backend")
+        print(f"  jax {cli} leg backend: {backend}", flush=True)
+        if platform is not None:
+            # fallback leg: keep the backend in the row so merged
+            # tables can flag it (VERDICT r4 #3)
+            out["backend"] = backend
         return out
-    raise RuntimeError(f"cli_leg {cli} timed out {retries + 1} times")
+    raise RuntimeError(
+        f"cli_leg {cli} timed out on every attempt incl. CPU fallback")
 
 
 def _ids():
@@ -279,6 +305,8 @@ def study_vqvae(data_dir, seed, train_torch=True):
           "test/loss": leg["test/loss"],
           "test/recon_error": leg["test/recon_error"],
           "vq_ckpt_sha256": vq_sha256(best_ckpt_path)}
+    if "backend" in leg:  # CPU-fallback leg — flag it in the row
+        jx["backend"] = leg["backend"]
 
     if not train_torch:
         # torch-twin VQ training skipped (legs selection): the jax leg

@@ -204,3 +204,66 @@ def test_write_quality_md_renders_vq_pairing_audit(tmp_path):
     assert "VQ-pairing audit" in text
     assert "1 hash-paired, 1 mismatched" in text
     assert "MISMATCH" in text
+
+
+def test_jax_leg_falls_back_to_cpu_after_default_backend_timeouts(
+        monkeypatch):
+    """Round-4 chain steps 3 and 5 died when 3 TPU-tunnel timeouts made
+    _jax_leg raise, aborting the whole study queue. The hardened leg
+    runner must instead run one final attempt on the CPU backend
+    (JAX_PLATFORMS=cpu in the subprocess env) and record the fallback
+    backend in the result row so tables can flag it (VERDICT r4 #3)."""
+    qs = _load("quality_study")
+    calls = []
+
+    def fake_run(cmd, timeout_s, inactivity_s, cwd, env=None):
+        calls.append(env)
+        if env is None:
+            return -9, "", ""  # default-backend attempt: stalled
+        assert env.get("JAX_PLATFORMS") == "cpu"
+        assert timeout_s > 3600 and inactivity_s > 300
+        return 0, 'CLILEG_RESULT {"val/loss": 1.5, "backend": "cpu"}\n', ""
+
+    monkeypatch.setattr(qs, "_run_with_inactivity_kill", fake_run)
+    out = qs._jax_leg("recon", ["--seed", "0"], timeout_s=600, retries=2)
+    assert out == {"val/loss": 1.5, "backend": "cpu"}
+    # 3 default-backend attempts, then exactly one cpu-fallback attempt
+    assert calls[:3] == [None, None, None] and len(calls) == 4
+
+    # when the default backend succeeds, no backend key leaks into the
+    # row (rows predating the fallback stay schema-identical)
+    def fake_run_ok(cmd, timeout_s, inactivity_s, cwd, env=None):
+        return 0, 'CLILEG_RESULT {"val/loss": 2.0, "backend": "tpu"}\n', ""
+
+    monkeypatch.setattr(qs, "_run_with_inactivity_kill", fake_run_ok)
+    assert qs._jax_leg("recon", [], retries=0) == {"val/loss": 2.0}
+
+
+def test_merge_asserts_sha_pairing_per_seed(tmp_path):
+    """Mismatched vq_ckpt_sha256 inside one seed means the halves were
+    paired against different frozen VQ checkpoints — the exact round-4
+    measurement-integrity bug. The merger must fail loudly instead of
+    relying on manual discipline (ADVICE r4 #1); rows without hashes
+    (predating sha recording) pass through."""
+    import pytest
+    m = _load("merge_quality_results")
+    ok = _dump(tmp_path, "ok.json", {"0": {
+        "vqvae": {"jax": {"vq_ckpt_sha256": "aaa"}, "torch": {}},
+        "transformer": {"jax": {"vq_ckpt_sha256": "aaa"},
+                        "torch": {"vq_ckpt_sha256": "aaa"}},
+        "roundtrip": {"export_bit_equal": True}}})
+    assert m.merge([ok])[0]["vqvae"]["jax"]["vq_ckpt_sha256"] == "aaa"
+
+    bad = _dump(tmp_path, "bad.json", {"0": {
+        "vqvae": {"jax": {"vq_ckpt_sha256": "aaa"}, "torch": {}},
+        "transformer": {"jax": {"vq_ckpt_sha256": "bbb"}, "torch": {}}}})
+    with pytest.raises(SystemExit, match="sha256 mismatch"):
+        m.merge([bad])
+
+    # hash-free legacy rows are skipped, and _-prefixed provenance
+    # notes pass through the merge untouched
+    legacy = _dump(tmp_path, "legacy.json", {
+        "0": {"transformer": {"jax": {"f": 1.0}, "torch": {}}},
+        "_provenance": {"note": "kept"}})
+    merged = m.merge([legacy])
+    assert merged["_provenance"] == {"note": "kept"}
