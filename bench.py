@@ -85,19 +85,53 @@ def tpu_windows_per_sec(batch=BATCH, iters=ITERS, groups=GROUPS):
 
     for _ in range(WARMUP):
         jax.block_until_ready(fn(*args))
+    wps = _timed_groups(lambda xx: fn(vq_params, vq_state, xx), x,
+                        batch, iters, groups)
+    log(f"best of {groups} groups: {wps:.1f} windows/s")
+    return wps
+
+
+def _timed_groups(run1, x, batch, iters, groups):
+    """Cache-proof, serialization-proof timing of `run1(x)`.
+
+    Round-5 finding (BENCHMARKS.md round 9): the tunneled TPU caches
+    (executable, inputs) -> result server-side and does not reliably
+    fence `jax.block_until_ready`, so repeat-timing IDENTICAL calls can
+    report arbitrarily inflated throughput (measured up to 10,597
+    "TFLOPS" on chained matmuls). Three rules, each load-bearing:
+      1. every timed call gets input content the server has never seen;
+      2. call i+1's input data-depends on call i's output, forcing
+         serial execution (a shared pool parallelizes independent
+         dispatches);
+      3. the clock stops on a HOST READ of a value that depends on the
+         final output, not on block_until_ready.
+    On an honestly-fenced runtime this measures the same thing as the
+    r1-r4 identical-args loop: the chain adds one eager elementwise
+    add per iter (~2.5 MB traffic, well under 0.1% of a pipeline
+    call), so numbers stay comparable across rounds."""
+    rng = np.random.default_rng(20260820)
     best = float("inf")
     for _ in range(groups):
+        fresh = [jnp.asarray(rng.standard_normal(x.shape).astype(x.dtype))
+                 for _ in range(iters)]
+        # fence the uploads out of the timed section (host read)
+        float(jnp.sum(jnp.stack([jnp.sum(f) for f in fresh])))
+        out = None
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        for i in range(iters):
+            xi = fresh[i]
+            if out is not None:
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                xi = xi + (1e-5 * jnp.tanh(
+                    jnp.sum(leaf.astype(jnp.float32)))).astype(xi.dtype)
+            out = run1(xi)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(leaf.astype(jnp.float32)))  # host-read fence
         dt = time.perf_counter() - t0
         log(f"tpu: {iters} iters x {batch} windows in {dt:.3f}s "
             f"-> {batch * iters / dt:.1f} windows/s")
         best = min(best, dt)
-    wps = batch * iters / best
-    log(f"best of {groups} groups: {wps:.1f} windows/s")
-    return wps
+    return batch * iters / best
 
 
 def torch_cpu_baseline(batch=16, iters=2, groups=3):
@@ -264,14 +298,8 @@ def cpu_fallback_windows_per_sec(batch=16, iters=3, groups=2):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch, N_CYCLES * CYCLE_LEN, 2)), jnp.float32)
     jax.block_until_ready(fn(vq_params, vq_state, tr_params, x))
-    best = float("inf")
-    for _ in range(groups):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(vq_params, vq_state, tr_params, x)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    wps = batch * iters / best
+    wps = _timed_groups(lambda xx: fn(vq_params, vq_state, tr_params, xx),
+                        x, batch, iters, groups)
     log(f"cpu-fallback (f32 XLA pipeline): {wps:.1f} windows/s")
     return wps
 

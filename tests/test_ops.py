@@ -223,3 +223,55 @@ def test_split_heads_roundtrip(rng):
     from vq_vae_transformer_arc_welding_tpu.ops.attention import merge_heads
     y = merge_heads(split_heads(jnp.asarray(x), 3))
     np.testing.assert_array_equal(np.asarray(y), x)
+
+
+def test_conv1d_same_im2col_matches_lax_and_torch(rng):
+    """The im2col lowering (faster backward on TPU; BENCHMARKS.md round
+    9) must match conv1d_same and the torch Conv1d on values AND on
+    gradients — it is a relayout, not a different op."""
+    from vq_vae_transformer_arc_welding_tpu.ops.conv import (
+        conv1d_same_im2col)
+    b, l, ci, co = 2, 16, 8, 8
+    x = rng.standard_normal((b, l, ci)).astype(np.float32)
+    conv = torch.nn.Conv1d(ci, co, kernel_size=3, stride=1, padding=1)
+    ref = conv(torch.tensor(x).permute(0, 2, 1)).detach().numpy()
+    w = jnp.asarray(conv.weight.detach().numpy())
+    bias = jnp.asarray(conv.bias.detach().numpy())
+    ours = np.asarray(conv1d_same_im2col(jnp.asarray(x), w, bias))
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 1)),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradient equivalence vs the lax.conv path (same loss surface)
+    def loss(fn, xx, ww):
+        return jnp.sum(fn(xx, ww, bias) ** 2)
+
+    g_lax = jax.grad(loss, argnums=(1, 2))(conv1d_same, jnp.asarray(x), w)
+    g_im2 = jax.grad(loss, argnums=(1, 2))(conv1d_same_im2col,
+                                           jnp.asarray(x), w)
+    for a_, b_ in zip(g_lax, g_im2):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_vqvae_conv_impl_im2col_matches_lax(rng):
+    """Whole-model check: conv_impl='im2col' reproduces the default
+    decoder path's loss and gradients to float tolerance."""
+    from vq_vae_transformer_arc_welding_tpu.models import VQVAEPatch
+    kw = dict(hidden_dim=32, input_dim=2, num_embeddings=16,
+              embedding_dim=8, n_resblocks=2, learning_rate=1e-3,
+              dropout_p=0.0, batch_norm=False)
+    m_lax = VQVAEPatch(**kw)
+    m_im2 = VQVAEPatch(**kw, conv_impl="im2col")
+    params, state = m_lax.init(0)
+    x = jnp.asarray(rng.standard_normal((4, 200, 2)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    (l1, _), g1 = jax.value_and_grad(m_lax.loss_fn, has_aux=True)(
+        params, state, x, train=True, rng=key)
+    (l2, _), g2 = jax.value_and_grad(m_im2.loss_fn, has_aux=True)(
+        params, state, x, train=True, rng=key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(g1),
+                      jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)

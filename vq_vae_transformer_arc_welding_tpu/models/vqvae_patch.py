@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.activations import gelu
-from ..ops.conv import center_tap_dense, conv1d_same
+from ..ops.conv import center_tap_dense, conv1d_same, conv1d_same_im2col
 from ..ops.norm import BatchNormState, batch_norm_apply
 from ..ops.patching import (INVERSE_PATCH_PLANS, patch_embed,
                             patch_embed_inverse)
@@ -53,7 +53,8 @@ class VQVAEPatch(Module):
                  batch_norm: bool = True, beta: float = 0.25,
                  use_improved_vq: bool = False, kmeans_iters: int = 0,
                  threshold_ema_dead_code: int = 2, vq_impl: str = "xla",
-                 compute_dtype=None, compute_scope: str = "all"):
+                 compute_dtype=None, compute_scope: str = "all",
+                 conv_impl: str = "lax"):
         if patch_size not in INVERSE_PATCH_PLANS:
             raise NotImplementedError(f"Patch size not implemented: {patch_size}")
         self.hidden_dim = hidden_dim
@@ -72,6 +73,12 @@ class VQVAEPatch(Module):
         self.threshold_ema_dead_code = threshold_ema_dead_code
         # runtime option (not an hparam): 'xla' or 'pallas' nearest-code path
         self.vq_impl = vq_impl
+        # runtime option (not an hparam): decoder k3 conv lowering —
+        # 'lax' (lax.conv) or 'im2col' (single GEMM; faster backward,
+        # ulp-level rounding difference — ops/conv.py docstring)
+        if conv_impl not in ("lax", "im2col"):
+            raise ValueError(f"conv_impl: {conv_impl}")
+        self.conv_impl = conv_impl
         # runtime option (not an hparam): compute_dtype=jnp.bfloat16 runs
         # the conv/dense matmul INPUTS in bf16 with f32 MXU accumulation
         # (2x matmul throughput); the residual stream, BatchNorm, GELU,
@@ -247,8 +254,10 @@ class VQVAEPatch(Module):
         ctd = self._cast_conv(center_tap_dense, cd)
         h = ctd(z_q, params["decoder_in"]["w"], params["decoder_in"]["b"])
         bn = state.get("decoder_bn") if self.batch_norm else None
+        k3 = (conv1d_same_im2col if self.conv_impl == "im2col"
+              else conv1d_same)
         h, dec_bn = self._run_blocks(params["decoder"], bn, h,
-                                     self._cast_conv(conv1d_same, cd),
+                                     self._cast_conv(k3, cd),
                                      train=train, rng=rng)
         inv = params["inverse"]
         if cd is not None:

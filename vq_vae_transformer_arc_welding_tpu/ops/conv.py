@@ -55,6 +55,36 @@ def center_tap_dense(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> 
                       preferred_element_type=jnp.float32) + bias
 
 
+def conv1d_same_im2col(x: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray) -> jnp.ndarray:
+    """conv1d_same re-expressed as one im2col matmul.
+
+    Same math as `conv1d_same` (torch-parity-tested to 1e-4 in
+    tests/test_ops.py) but lowered as a single (B·L, k·I) @ (k·I, O)
+    GEMM instead of lax.conv. The payoff is the BACKWARD pass: XLA
+    differentiates a dot_general into two dot_generals (MXU-native),
+    while lax.conv's gradient lowers through transposed-conv ops that
+    tile poorly at this model's short sequence (L=16). Measured on the
+    VQ-VAE training step (BENCHMARKS.md round 9); reachable via
+    ``VQVAEPatch(conv_impl='im2col')``. Float rounding differs from
+    the lax.conv path at the ulp level (different accumulation order),
+    which the decoder-side recon loss tolerates; the ENCODER's
+    bit-comparable-index contract is untouched (center_tap_dense is
+    already a matmul).
+    """
+    k = kernel.shape[-1]
+    pad = (k - 1) // 2
+    length = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    # tap-major feature concat: cols[t][:, l, :] = x[l + t - pad]
+    xcat = jnp.concatenate([xp[:, t:t + length, :] for t in range(k)],
+                           axis=-1)                       # (B, L, k*I)
+    w = jnp.transpose(kernel, (2, 1, 0)).reshape(-1, kernel.shape[0])
+    y = jnp.einsum("blf,fo->blo", xcat, w,
+                   preferred_element_type=jnp.float32)
+    return y + bias
+
+
 def conv_transpose_block(x, kernel, bias):
     """Alias re-exported for completeness; see patching.conv_transpose_stride_eq_kernel."""
     from .patching import conv_transpose_stride_eq_kernel
