@@ -100,10 +100,11 @@ def main():
     B = a.batch
     print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
 
-    def build(p_drop):
+    def build(p_drop, conv_impl="lax"):
         m = VQVAEPatch(hidden_dim=512, input_dim=2, num_embeddings=256,
                        embedding_dim=32, n_resblocks=8, learning_rate=1e-3,
-                       dropout_p=p_drop, batch_norm=False)
+                       dropout_p=p_drop, batch_norm=False,
+                       conv_impl=conv_impl)
         params, state = m.init(0)
         return m, params, state
 
@@ -188,6 +189,14 @@ def main():
         full_scan(model0, params0, state0, tx.init(params0)), fresh_x,
         a.n1, a.n2)
 
+    # 5. full step with the im2col decoder-conv lowering (the measured
+    #    optimization attempt — ops/conv.py::conv1d_same_im2col)
+    model_i, params_i, state_i = build(a.dropout, conv_impl="im2col")
+    results["full_step_im2col"] = per_step_time(
+        "full_step_im2col",
+        full_scan(model_i, params_i, state_i, tx.init(params_i)), fresh_x,
+        a.n1, a.n2)
+
     # FLOP counts (XLA cost analysis of one step body)
     def one_full(p, s, o, x):
         rng = jax.random.PRNGKey(1)
@@ -219,6 +228,8 @@ def main():
             "train_vs_eval_fwd":
                 (results["fwd_train"] - results["fwd_eval"]) * 1e3,
         },
+        "im2col_speedup":
+            results["full_step"] / results["full_step_im2col"],
     }
     print(json.dumps(out, indent=2))
 
