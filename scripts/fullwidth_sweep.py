@@ -58,13 +58,55 @@ def parse_schedule(s: str):
                 finetune_epochs=f)
 
 
+_TUNNEL_PROBE_CODE = ("import jax, jax.numpy as jnp; "
+                      "x = jnp.ones((128, 128)); "
+                      "print(float((x @ x).sum()))")
+
+
+def _default_backend_answers(probe_timeout_s: int = 90) -> bool:
+    """Cheap matmul probe — see quality_study._default_backend_answers.
+
+    The tunneled TPU flaps between healthy and fully-stalled states;
+    when stalled, a default-backend attempt burns its full timeout_s
+    (2400 s here) before the retry fires. 90 s decides whether the
+    default backend is worth attempting at all."""
+    try:
+        subprocess.run(
+            [sys.executable, "-c", _TUNNEL_PROBE_CODE],
+            timeout=probe_timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
             retries: int = 2) -> dict:
     # stream subprocess output to a per-leg log (capture_output hides
     # progress, making a hung TPU leg undiagnosable), and retry with a
     # timeout: the tunneled TPU's backend init intermittently stalls
-    # (observed ~0.5% CPU for 20+ min; a fresh process succeeds)
-    for attempt in range(retries + 1):
+    # (observed ~0.5% CPU for 20+ min; a fresh process succeeds).
+    # Round 5: a final CPU-backend attempt (backend recorded in the
+    # result row, as in quality_study._jax_leg) replaces the bare
+    # raise — a tunnel OUTAGE degrades the leg instead of killing the
+    # sweep — and a 90 s pre-probe skips the default-backend attempts
+    # entirely when the tunnel is stalled right now.
+    attempts = [None] * (retries + 1)
+    if not _default_backend_answers():
+        print("  leg: default-backend probe stalled — skipping straight "
+              "to the cpu fallback", flush=True)
+        attempts = []
+    attempts.append("cpu")
+    for attempt, platform in enumerate(attempts):
+        env = None
+        t_s = timeout_s
+        if platform is not None:
+            env = dict(os.environ, JAX_PLATFORMS=platform)
+            t_s = max(timeout_s * 6, 7200)
+            if attempt:
+                print(f"  leg: default backend exhausted {attempt} "
+                      f"attempts — falling back to {platform} "
+                      f"(recorded in the result row)", flush=True)
         logp = os.path.join(os.getcwd(),
                             f"leg_{cli}_{int(time.time())}.log")
         try:
@@ -74,10 +116,10 @@ def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
                      os.path.join(REPO, "scripts", "cli_leg.py"),
                      "--cli", cli, "--argv-json", json.dumps(argv)],
                     stdout=lf, stderr=subprocess.STDOUT, text=True,
-                    cwd=os.getcwd(), timeout=timeout_s)
+                    cwd=os.getcwd(), timeout=t_s, env=env)
         except subprocess.TimeoutExpired:
-            print(f"  leg timed out after {timeout_s}s "
-                  f"(attempt {attempt + 1}/{retries + 1}, log: {logp})",
+            print(f"  leg timed out after {t_s}s "
+                  f"(attempt {attempt + 1}/{len(attempts)}, log: {logp})",
                   flush=True)
             continue
         with open(logp) as lf:
@@ -87,13 +129,16 @@ def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
         if proc.returncode == 3:
             # cli_leg's backend watchdog: init stalled — retry fresh
             print(f"  leg backend-init stall (attempt {attempt + 1}/"
-                  f"{retries + 1}, log: {logp})", flush=True)
+                  f"{len(attempts)}, log: {logp})", flush=True)
             continue
         if proc.returncode != 0 or not line:
             sys.stderr.write(stdout[-4000:])
             raise RuntimeError(f"cli_leg {cli} failed (log: {logp})")
         out = json.loads(line[-1][len("CLILEG_RESULT "):])
-        print(f"  backend: {out.pop('backend')} (log: {logp})", flush=True)
+        backend = out.pop("backend")
+        print(f"  backend: {backend} (log: {logp})", flush=True)
+        if platform is not None:
+            out["backend"] = backend  # flag the fallback in result rows
         return out
     raise RuntimeError(f"cli_leg {cli} timed out {retries + 1} times")
 

@@ -213,6 +213,34 @@ def _run_with_inactivity_kill(cmd, timeout_s, inactivity_s, cwd, env=None):
     return rc, "".join(chunks["out"]), "".join(chunks["err"])
 
 
+_TUNNEL_PROBE_CODE = ("import jax, jax.numpy as jnp; "
+                      "x = jnp.ones((128, 128)); "
+                      "print(float((x @ x).sum()))")
+
+
+def _default_backend_answers(probe_timeout_s: int = 90) -> bool:
+    """One cheap matmul on the default backend, hard-killed on stall.
+
+    The tunneled TPU flaps between healthy and fully-stalled states
+    (round 5: compute RPCs hang while `jax.devices()` still lists the
+    chip). When it is stalled, every default-backend attempt burns
+    `inactivity_s` before the watchdog fires — ~15 min per leg across
+    3 attempts — so a 90 s probe before the first attempt decides
+    whether trying the default backend is worth anything at all. The
+    probe runs per-leg, so a recovered tunnel is picked up by the
+    next leg automatically (self-healing is preserved).
+    """
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", _TUNNEL_PROBE_CODE],
+            timeout=probe_timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
 def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
              retries: int = 2, inactivity_s: int = 300) -> dict:
     """Run one CLI leg in a TPU subprocess (scripts/cli_leg.py).
@@ -234,15 +262,21 @@ def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
     bounded by the attractor spread, mean ~0); a fallback leg
     records `backend: cpu` in its result row so tables can flag it."""
     attempts = [(None, timeout_s, inactivity_s)] * (retries + 1)
+    if attempts and not _default_backend_answers():
+        print(f"  jax {cli} leg: default-backend probe stalled — "
+              f"skipping straight to the cpu fallback", flush=True)
+        attempts = []
     attempts.append(("cpu", max(timeout_s * 6, 7200),
                      max(inactivity_s * 4, 1200)))
     for attempt, (platform, t_s, inact_s) in enumerate(attempts):
         env = None
         if platform is not None:
             env = dict(os.environ, JAX_PLATFORMS=platform)
-            print(f"  jax {cli} leg: default backend exhausted "
-                  f"{retries + 1} attempts — falling back to "
-                  f"{platform} (recorded in the result row)", flush=True)
+            if attempt:
+                print(f"  jax {cli} leg: default backend exhausted "
+                      f"{attempt} attempts — falling back to "
+                      f"{platform} (recorded in the result row)",
+                      flush=True)
         rc, out_s, err_s = _run_with_inactivity_kill(
             [sys.executable, os.path.join(REPO, "scripts", "cli_leg.py"),
              "--cli", cli, "--argv-json", json.dumps(argv)],

@@ -225,10 +225,23 @@ def test_jax_leg_falls_back_to_cpu_after_default_backend_timeouts(
         return 0, 'CLILEG_RESULT {"val/loss": 1.5, "backend": "cpu"}\n', ""
 
     monkeypatch.setattr(qs, "_run_with_inactivity_kill", fake_run)
+    # probe says the tunnel answers: all default-backend attempts run
+    monkeypatch.setattr(qs, "_default_backend_answers", lambda: True)
     out = qs._jax_leg("recon", ["--seed", "0"], timeout_s=600, retries=2)
     assert out == {"val/loss": 1.5, "backend": "cpu"}
     # 3 default-backend attempts, then exactly one cpu-fallback attempt
     assert calls[:3] == [None, None, None] and len(calls) == 4
+
+    # probe says the tunnel is stalled RIGHT NOW: skip the default-
+    # backend attempts entirely (each would burn inactivity_s) and go
+    # straight to the cpu fallback (round-5 hardening: the tunnel
+    # flaps, and a stalled window costs ~15 min/leg without the probe)
+    calls.clear()
+    monkeypatch.setattr(qs, "_default_backend_answers", lambda: False)
+    out = qs._jax_leg("recon", ["--seed", "0"], timeout_s=600, retries=2)
+    assert out == {"val/loss": 1.5, "backend": "cpu"}
+    assert len(calls) == 1 and calls[0] is not None
+    monkeypatch.setattr(qs, "_default_backend_answers", lambda: True)
 
     # when the default backend succeeds, no backend key leaks into the
     # row (rows predating the fallback stay schema-identical)
