@@ -22,6 +22,17 @@ sys.path.insert(0, REPO)
 
 import jax  # noqa: E402  (NOT forced to CPU — default backend)
 
+# CPU-fallback legs: JAX_PLATFORMS=cpu in the subprocess env is NOT
+# honored here — this image's sitecustomize registers the tunneled
+# TPU backend and wins over the env var (measured: JAX_PLATFORMS=cpu
+# still reports platform "tpu"). The explicit config update below is
+# the mechanism that does work (quality_study.py forces its own
+# process to CPU the same way), so callers request the fallback via
+# CLILEG_FORCE_PLATFORM instead.
+_force_platform = os.environ.get("CLILEG_FORCE_PLATFORM")
+if _force_platform:
+    jax.config.update("jax_platforms", _force_platform)
+
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -101,7 +101,10 @@ def cli_leg(cli: str, argv: list[str], timeout_s: int = 2400,
         env = None
         t_s = timeout_s
         if platform is not None:
-            env = dict(os.environ, JAX_PLATFORMS=platform)
+            # CLILEG_FORCE_PLATFORM, not JAX_PLATFORMS: the baked
+            # sitecustomize's TPU registration overrides the env var
+            env = dict(os.environ, JAX_PLATFORMS=platform,
+                       CLILEG_FORCE_PLATFORM=platform)
             t_s = max(timeout_s * 6, 7200)
             if attempt:
                 print(f"  leg: default backend exhausted {attempt} "

@@ -271,7 +271,11 @@ def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
     for attempt, (platform, t_s, inact_s) in enumerate(attempts):
         env = None
         if platform is not None:
-            env = dict(os.environ, JAX_PLATFORMS=platform)
+            # CLILEG_FORCE_PLATFORM, not JAX_PLATFORMS: the baked
+            # sitecustomize's TPU registration overrides the env var
+            # (cli_leg.py applies the force via jax.config.update)
+            env = dict(os.environ, JAX_PLATFORMS=platform,
+                       CLILEG_FORCE_PLATFORM=platform)
             if attempt:
                 print(f"  jax {cli} leg: default backend exhausted "
                       f"{attempt} attempts — falling back to "

@@ -221,6 +221,9 @@ def test_jax_leg_falls_back_to_cpu_after_default_backend_timeouts(
         if env is None:
             return -9, "", ""  # default-backend attempt: stalled
         assert env.get("JAX_PLATFORMS") == "cpu"
+        # the baked sitecustomize overrides JAX_PLATFORMS, so the leg
+        # must ALSO carry the config-update force flag cli_leg honors
+        assert env.get("CLILEG_FORCE_PLATFORM") == "cpu"
         assert timeout_s > 3600 and inactivity_s > 300
         return 0, 'CLILEG_RESULT {"val/loss": 1.5, "backend": "cpu"}\n', ""
 
