@@ -202,7 +202,10 @@ def main():
 
     out_dir = os.path.abspath(a.out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    out_json = a.out or os.path.join(out_dir, "sweep.json")
+    # absolute: written from inside the os.chdir(out_dir) block below —
+    # a relative --out crashed the round-5 tripwire run AFTER its leg
+    # succeeded (result recovered from the leg log)
+    out_json = os.path.abspath(a.out or os.path.join(out_dir, "sweep.json"))
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     csv = os.path.join(data_dir, "processed_asimow_dataset.csv")
