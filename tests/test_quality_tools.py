@@ -272,9 +272,21 @@ def test_merge_asserts_sha_pairing_per_seed(tmp_path):
 
     bad = _dump(tmp_path, "bad.json", {"0": {
         "vqvae": {"jax": {"vq_ckpt_sha256": "aaa"}, "torch": {}},
-        "transformer": {"jax": {"vq_ckpt_sha256": "bbb"}, "torch": {}}}})
+        "transformer": {"jax": {"vq_ckpt_sha256": "aaa"},
+                        "torch": {"vq_ckpt_sha256": "bbb"}}}})
     with pytest.raises(SystemExit, match="sha256 mismatch"):
         m.merge([bad])
+
+    # producer-vs-consumer divergence is the legitimate restart shape
+    # (a re-trained vqvae parity row while an earlier pin still feeds
+    # downstream legs — round 5, TPU pin + CPU re-run): annotated, not
+    # failed, as long as the CONSUMER halves agree with each other
+    repin = _dump(tmp_path, "repin.json", {"0": {
+        "vqvae": {"jax": {"vq_ckpt_sha256": "fresh"}, "torch": {}},
+        "mlp_latent": {"jax": {"vq_ckpt_sha256": "pin"},
+                       "torch": {"vq_ckpt_sha256": "pin"}}}})
+    merged_repin = m.merge([repin])
+    assert "retrained after the pin" in merged_repin[0]["_vq_sha_note"]
 
     # hash-free legacy rows are skipped, and _-prefixed provenance
     # notes pass through the merge untouched
