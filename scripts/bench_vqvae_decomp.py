@@ -95,7 +95,17 @@ def main():
     ap.add_argument("--n2", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--variants", default="all",
+                    help="comma list of variants to measure (tunnel "
+                         "flaps kill long runs; retries can resume "
+                         "with just the missing ones)")
     a = ap.parse_args()
+
+    want = (None if a.variants == "all"
+            else set(a.variants.split(",")))
+
+    def _want(name):
+        return want is None or name in want
 
     B = a.batch
     print(f"backend: {jax.devices()[0].platform}", file=sys.stderr)
@@ -120,13 +130,15 @@ def main():
 
     # 1. full training step (loss+grad+RAdam), params chained in-graph —
     #    the Trainer's epoch scan body without the batch gather
-    def full_scan(mdl, p0, s0, o0):
+    def full_scan(mdl, p0, s0, o0, rng_impl=None):
         def make(n):
             @jax.jit
             def run(x):
                 def step(carry, i):
                     p, s, o = carry
-                    rng = jax.random.fold_in(jax.random.PRNGKey(1), i)
+                    base = (jax.random.PRNGKey(1) if rng_impl is None
+                            else jax.random.key(1, impl=rng_impl))
+                    rng = jax.random.fold_in(base, i)
                     (_, (_, ns)), g = jax.value_and_grad(
                         mdl.loss_fn, has_aux=True)(p, s, x, train=True,
                                                    rng=rng)
@@ -138,9 +150,10 @@ def main():
             return run
         return make
 
-    results["full_step"] = per_step_time(
-        "full_step", full_scan(model, params, state, opt_state), fresh_x,
-        a.n1, a.n2)
+    if _want("full_step"):
+        results["full_step"] = per_step_time(
+            "full_step", full_scan(model, params, state, opt_state),
+            fresh_x, a.n1, a.n2)
 
     # 2. grad only (no optimizer update) — isolates the RAdam/clip cost
     def grad_scan(n):
@@ -159,8 +172,9 @@ def main():
             return carry[0]
         return run
 
-    results["grad_only"] = per_step_time("grad_only", grad_scan, fresh_x,
-                                         a.n1, a.n2)
+    if _want("grad_only"):
+        results["grad_only"] = per_step_time("grad_only", grad_scan,
+                                             fresh_x, a.n1, a.n2)
 
     # 3. forward only (train mode, dropout active), x chained via loss
     def fwd_scan(train):
@@ -177,25 +191,39 @@ def main():
             return run
         return make
 
-    results["fwd_train"] = per_step_time("fwd_train", fwd_scan(True),
-                                         fresh_x, a.n1, a.n2)
-    results["fwd_eval"] = per_step_time("fwd_eval", fwd_scan(False),
-                                        fresh_x, a.n1, a.n2)
+    if _want("fwd_train"):
+        results["fwd_train"] = per_step_time("fwd_train", fwd_scan(True),
+                                             fresh_x, a.n1, a.n2)
+    if _want("fwd_eval"):
+        results["fwd_eval"] = per_step_time("fwd_eval", fwd_scan(False),
+                                            fresh_x, a.n1, a.n2)
 
     # 4. full step without dropout (p=0: XLA drops mask gen + apply)
-    model0, params0, state0 = build(0.0)
-    results["full_step_nodrop"] = per_step_time(
-        "full_step_nodrop",
-        full_scan(model0, params0, state0, tx.init(params0)), fresh_x,
-        a.n1, a.n2)
+    if _want("full_step_nodrop"):
+        model0, params0, state0 = build(0.0)
+        results["full_step_nodrop"] = per_step_time(
+            "full_step_nodrop",
+            full_scan(model0, params0, state0, tx.init(params0)), fresh_x,
+            a.n1, a.n2)
 
     # 5. full step with the im2col decoder-conv lowering (the measured
     #    optimization attempt — ops/conv.py::conv1d_same_im2col)
-    model_i, params_i, state_i = build(a.dropout, conv_impl="im2col")
-    results["full_step_im2col"] = per_step_time(
-        "full_step_im2col",
-        full_scan(model_i, params_i, state_i, tx.init(params_i)), fresh_x,
-        a.n1, a.n2)
+    if _want("full_step_im2col"):
+        model_i, params_i, state_i = build(a.dropout, conv_impl="im2col")
+        results["full_step_im2col"] = per_step_time(
+            "full_step_im2col",
+            full_scan(model_i, params_i, state_i, tx.init(params_i)),
+            fresh_x, a.n1, a.n2)
+
+    # 6. full step with dropout masks on the TPU hardware RNG (rbg) —
+    #    the measured lever behind Trainer(dropout_prng="rbg"): threefry
+    #    mask generation is ~1/3 of the step and is regenerated in the
+    #    backward
+    if _want("full_step_rbg"):
+        results["full_step_rbg"] = per_step_time(
+            "full_step_rbg",
+            full_scan(model, params, state, opt_state, rng_impl="rbg"),
+            fresh_x, a.n1, a.n2)
 
     # FLOP counts (XLA cost analysis of one step body)
     def one_full(p, s, o, x):
@@ -212,25 +240,34 @@ def main():
                                       rng=jax.random.PRNGKey(1)),
         params, state, x0)
 
+    r = results  # partial-variant runs only emit what they measured
+
+    def _diff(a_, b_):
+        return (r[a_] - r[b_]) * 1e3 if a_ in r and b_ in r else None
+
     out = {
         "batch": B,
-        "ms": {k: v * 1e3 for k, v in results.items()},
-        "windows_per_s_full_step": B / results["full_step"],
+        "ms": {k: v * 1e3 for k, v in r.items()},
         "flops_full_step": fl_full,
         "flops_fwd": fl_fwd,
-        "tflops_eff_full_step": fl_full / results["full_step"] / 1e12,
-        "tflops_eff_fwd": fl_fwd / results["fwd_train"] / 1e12,
         "derived_ms": {
-            "optimizer": (results["full_step"] - results["grad_only"]) * 1e3,
-            "backward": (results["grad_only"] - results["fwd_train"]) * 1e3,
-            "dropout_total":
-                (results["full_step"] - results["full_step_nodrop"]) * 1e3,
-            "train_vs_eval_fwd":
-                (results["fwd_train"] - results["fwd_eval"]) * 1e3,
+            "optimizer": _diff("full_step", "grad_only"),
+            "backward": _diff("grad_only", "fwd_train"),
+            "dropout_total": _diff("full_step", "full_step_nodrop"),
+            "train_vs_eval_fwd": _diff("fwd_train", "fwd_eval"),
         },
-        "im2col_speedup":
-            results["full_step"] / results["full_step_im2col"],
     }
+    if "full_step" in r:
+        out["windows_per_s_full_step"] = B / r["full_step"]
+        out["tflops_eff_full_step"] = fl_full / r["full_step"] / 1e12
+    if "fwd_train" in r:
+        out["tflops_eff_fwd"] = fl_fwd / r["fwd_train"] / 1e12
+    if "full_step" in r and "full_step_im2col" in r:
+        out["im2col_speedup"] = r["full_step"] / r["full_step_im2col"]
+    if "full_step_rbg" in r:
+        out["windows_per_s_rbg"] = B / r["full_step_rbg"]
+        if "full_step" in r:
+            out["rbg_speedup"] = r["full_step"] / r["full_step_rbg"]
     print(json.dumps(out, indent=2))
 
 
