@@ -138,6 +138,60 @@ def test_vqvae_reconstruction_training_improves(data_dir, tmp_path):
     assert os.path.exists(str(tmp_path / "ck" / "last.ckpt"))
 
 
+def test_dropout_prng_rbg_trains_and_keeps_sampling_stream(data_dir,
+                                                           tmp_path):
+    """Trainer(dropout_prng='rbg') puts ONLY the dropout-mask key on
+    the cheap PRNG (BENCHMARKS.md round 9: threefry masks are ~1/3 of
+    the VQ-VAE train step). The weighted-sampler / permutation stream
+    must stay threefry so the batch sequence is bit-identical across
+    settings; the dropout draws (no cross-stack parity contract)
+    legitimately differ."""
+    ids = get_val_test_ids()
+    dm = ASIMoWDataModule(task="reconstruction", n_cycles=1,
+                          val_data_ids=ids["val_ids"],
+                          test_data_ids=ids["test_ids"], batch_size=64,
+                          data_directory_path=data_dir)
+    dm.setup()
+
+    def run(impl):
+        model = VQVAEPatch(hidden_dim=32, input_dim=2, num_embeddings=16,
+                           embedding_dim=8, n_resblocks=1,
+                           learning_rate=2e-3, dropout_p=0.3,
+                           batch_norm=False)
+        params, state = model.init(0)
+        tr = Trainer(max_epochs=2, monitor="val/loss", mode="min",
+                     patience=8, checkpoint_dir=str(tmp_path / f"ck_{impl}"),
+                     verbose=False, dropout_prng=impl)
+        seen = []
+        orig = tr._train_indices
+
+        def spy(k_samp, n, bs, weights, drop_last):
+            idx = orig(k_samp, n, bs, weights, drop_last)
+            seen.append(np.asarray(idx))
+            return idx
+
+        tr._train_indices = spy
+        res = tr.fit(ReconstructionTask(model), dm, params, state,
+                     make_radam(2e-3, clip_norm=0.7))
+        losses = [h["train_epoch/loss"] for h in res.history
+                  if "train_epoch/loss" in h]
+        return seen, losses
+
+    seen_tf, losses_tf = run("threefry")
+    seen_rbg, losses_rbg = run("rbg")
+    # identical batch streams (sampling key untouched) ...
+    assert len(seen_tf) == len(seen_rbg) >= 2
+    for a, b in zip(seen_tf, seen_rbg):
+        np.testing.assert_array_equal(a, b)
+    # ... finite training on the rbg masks, and genuinely different
+    # dropout draws (losses cannot be bit-equal at p=0.3)
+    assert np.isfinite(losses_rbg).all()
+    assert losses_tf != losses_rbg
+
+    with pytest.raises(ValueError):
+        Trainer(dropout_prng="philox")
+
+
 def test_early_stopping_triggers(data_dir):
     ids = get_val_test_ids()
     dm = ASIMoWDataModule(task="classification", n_cycles=1,

@@ -54,6 +54,11 @@ def build_parser():
     a("--data-dir", type=str, default=None,
       help="Data root override (defaults to .env-driven path)")
     a("--seed", type=int, default=0, help="Model init / sampling seed")
+    a("--dropout-prng", type=str, default="threefry",
+      choices=["threefry", "rbg", "unsafe_rbg"],
+      help="PRNG impl for dropout masks (rbg = TPU hardware RNG, "
+           "~32%% faster train step at reference config; sampling "
+           "streams stay threefry either way)")
     return parser
 
 
@@ -167,7 +172,8 @@ def main(hparams):
         mode="min", patience=5, min_delta=0.0001,
         checkpoint_dir=f"model_checkpoints/{model_name}/",
         checkpoint_name=f"{model_name}-best", save_last=True,
-        seed=hparams.seed)
+        seed=hparams.seed,
+        dropout_prng=getattr(hparams, "dropout_prng", "threefry"))
     task = ReconstructionTask(model)
     result = trainer.fit(task, data_module, params, state, tx)
 

@@ -64,7 +64,8 @@ class Trainer:
                  verbose: bool = True, mesh=None, param_rules=None,
                  profile_dir: str | None = None,
                  terminate_on_nan: bool = False,
-                 streaming: bool = False):
+                 streaming: bool = False,
+                 dropout_prng: str = "threefry"):
         self.max_epochs = max_epochs
         self.logger = logger
         self.monitor = monitor
@@ -98,6 +99,17 @@ class Trainer:
         self.streaming = streaming
         if streaming and mesh is not None:
             raise NotImplementedError("streaming + mesh is not supported")
+        # dropout_prng: PRNG implementation for the per-epoch DROPOUT
+        # key only (sampling stays threefry so the batch stream is
+        # bit-identical across settings). "rbg" rides the TPU's
+        # hardware RNG instruction: threefry mask generation measured
+        # 11.9 ms of a 37.2 ms VQ-VAE train step at the reference
+        # config (32%, regenerated in the backward; BENCHMARKS.md
+        # round 9), and dropout draws carry no cross-stack parity
+        # contract — the reference's torch RNG differs anyway.
+        if dropout_prng not in ("threefry", "rbg", "unsafe_rbg"):
+            raise ValueError(f"dropout_prng: {dropout_prng}")
+        self.dropout_prng = dropout_prng
         self._step_counter = 0
         self._eval_cache: dict = {}
         self._train_cache: dict = {}
@@ -431,6 +443,12 @@ class Trainer:
             # samples exactly what the uninterrupted run would have
             _, k_samp, k_epoch = jax.random.split(
                 jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch), 3)
+            if self.dropout_prng != "threefry":
+                # dropout-mask key on the cheap PRNG; same (seed,
+                # epoch) derivation so resume semantics are preserved
+                k_epoch = jax.random.fold_in(
+                    jax.random.key(self.seed, impl=self.dropout_prng),
+                    epoch)
             idx_groups = self._train_indices(
                 k_samp, len(train_split.x), batch_size, weights, drop_last)
             if idx3_sharding is not None:
