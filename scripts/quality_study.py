@@ -266,8 +266,18 @@ def _jax_leg(cli: str, argv: list[str], timeout_s: int = 3600,
         print(f"  jax {cli} leg: default-backend probe stalled — "
               f"skipping straight to the cpu fallback", flush=True)
         attempts = []
-    attempts.append(("cpu", max(timeout_s * 6, 7200),
-                     max(inactivity_s * 4, 1200)))
+    if os.environ.get("QS_NO_CPU_FALLBACK"):
+        # opportunistic TPU-only runs (e.g. extra seeds launched beside
+        # a CPU-grinding chain): a CPU fallback here would CONTEND with
+        # that chain instead of rescuing anything — fail the leg fast
+        # and let the caller retry in a later tunnel-up window
+        if not attempts:
+            raise RuntimeError(
+                f"cli_leg {cli}: tunnel stalled and QS_NO_CPU_FALLBACK "
+                f"is set — no attempt made")
+    else:
+        attempts.append(("cpu", max(timeout_s * 6, 7200),
+                         max(inactivity_s * 4, 1200)))
     for attempt, (platform, t_s, inact_s) in enumerate(attempts):
         env = None
         if platform is not None:
