@@ -4,6 +4,23 @@
 # (recorded per-row as backend: cpu) so a tunnel outage degrades a leg
 # instead of aborting the chain — the round-4 failure mode.
 #
+# EXECUTION RECORD (final session, 2026-08-20/21): a VM wipe killed
+# the original detached run before any step landed, and the tunnel
+# then flapped all night (~25% duty cycle), so the chain ran as
+# ad-hoc splits with the same out-dirs/args:
+#   part A  = step 3 then step 2 (CPU-dominated first; step 3 landed
+#             rc=0, all 5 seeds sha-paired -> qs_r4_iid_tpu_full.json)
+#   step 2  = re-split into torch-half (CPU) + jax-half (TPU-only
+#             retry loop, QS_NO_CPU_FALLBACK) after the jax CPU
+#             fallback measured ~20 min/epoch under contention; both
+#             halves pair on the pinned seed-4 VQ in /root/qs_b_tr_redo
+#   part B  = step 0 (landed; r4 iid row reclassified as collapse,
+#             results/fullwidth_iid_tripwire_r5.json) then step 1
+#             (seeds 5-8 landed of 5-14 before session end)
+#   part C  = TPU-only extension seeds 15-17 (all landed)
+# Harvest state: QUALITY.md d192 section + Study B tables updated in
+# the same session; merged files as named in the instructions below.
+#
 # Live copy runs detached as /root/qchain_r5.sh (PID in
 # /root/qchain_r5.pid, log /root/qchain_r5.log). HARVEST per landed
 # step (any later session):
