@@ -98,10 +98,12 @@ def _epoch_flops(task, tx, dm, trainer):
         return None
 
 
-def time_config(name, task, tx, dm, *, epochs, accum=1, seed=0):
+def time_config(name, task, tx, dm, *, epochs, accum=1, seed=0,
+                dropout_prng="threefry"):
     trainer = Trainer(max_epochs=epochs, seed=seed, verbose=False,
                       accumulate_grad_batches=accum,
-                      check_val_every_n_epoch=10**9)
+                      check_val_every_n_epoch=10**9,
+                      dropout_prng=dropout_prng)
     params, state = task.model.init(seed)
     flops = _epoch_flops(task, tx, dm, trainer)
     res = trainer.fit(task, dm, params, state, tx)
@@ -210,6 +212,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--tr-bs", type=int, default=16,
                     help="transformer batch size (reference default 16)")
+    ap.add_argument("--dropout-prng", default="threefry",
+                    choices=["threefry", "rbg", "unsafe_rbg"],
+                    help="Trainer dropout-mask PRNG (BENCHMARKS round 9)")
     args = ap.parse_args()
     global TR_BATCH
     TR_BATCH = args.tr_bs
@@ -229,7 +234,8 @@ def main():
             task, tx, dm, accum = built
             try:
                 row = time_config(f"{name}/{dtype}", task, tx, dm,
-                                  epochs=args.epochs, accum=accum)
+                                  epochs=args.epochs, accum=accum,
+                                  dropout_prng=args.dropout_prng)
             except Exception as e:  # keep the sweep alive per config
                 log(f"{name}/{dtype} FAILED: {type(e).__name__}: "
                     f"{str(e)[:300]}")
