@@ -17,7 +17,7 @@
 #   part B  = step 0 (landed; r4 iid row reclassified as collapse,
 #             results/fullwidth_iid_tripwire_r5.json) then step 1
 #             (seeds 5-12 landed of 5-14 before session end)
-#   part C  = TPU-only extension seeds 15-19 (all landed)
+#   part C  = TPU-only extension seeds 15-20 (all landed)
 # Harvest state: QUALITY.md d192 section + Study B tables updated in
 # the same session; merged files as named in the instructions below.
 #
